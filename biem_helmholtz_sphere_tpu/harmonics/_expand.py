@@ -1,0 +1,40 @@
+"""Projection of a function on S^{d-1} onto the flat harmonic basis.
+
+Rebuild of `ultrasphere_harmonics.expand` (reference: _biem.py:627-637):
+f_h = integral f(y) conj(Y_h(y)) dS(y), by the tree's product quadrature.
+On TPU this is a single [rest, Q] x [Q, H] matmul (MXU) after evaluating
+the integrand at the (static) quadrature nodes.
+"""
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+
+from ._eval import harmonics
+from ._quad import sphere_quadrature
+
+
+@lru_cache(maxsize=64)
+def _quad_harmonics(c, n_end, deg):
+    """Cached conj(Y) at quadrature nodes, pre-weighted: [Q, num]."""
+    sph, w = sphere_quadrature(c, deg)
+    sph_j = {k: jnp.asarray(v) for k, v in sph.items()}
+    y = harmonics(c, sph_j, n_end)
+    return sph, jnp.conj(y) * jnp.asarray(w)[:, None]
+
+
+def expand(c, f, n_end, deg=None):
+    """Project callable f onto harmonics of degree < n_end: [..., num].
+
+    f receives {nid: angles [Q]} (host numpy arrays: the quadrature is
+    static) and must return an array whose FIRST axis is Q; remaining
+    axes are preserved in front of the harmonic axis.
+
+    `deg` sets quadrature exactness (default 2*(n_end-1)+1, matching the
+    reference's expand(n=n_end) behavior of an n_end-point-per-node rule).
+    """
+    if deg is None:
+        deg = 2 * (n_end - 1) + 1
+    sph, wy = _quad_harmonics(c, n_end, deg)
+    fx = jnp.asarray(f(sph))
+    return jnp.einsum("q...,qh->...h", fx, wy)
