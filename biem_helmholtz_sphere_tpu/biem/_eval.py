@@ -1,0 +1,109 @@
+r"""Scattered-field evaluation u_scat(x) (reference: biem_u, _biem.py:822-977).
+
+Near field (x outside all spheres):
+
+    u_scat(x) = sum_b sum_h phi[b,h] blc_{n_h}(rho_b, eta) h^{(1)}_{n_h}(k r_b)
+                Y_h(x^_b),        r_b = |x - c_b|
+
+Far field (x^ a unit direction):
+
+    u_inf(x^) = (ik)^{-(d-1)/2} sum_b e^{-i k x^.c_b}
+                sum_h (-i)^{n_h} phi[b,h] blc_{n_h}(rho_b, eta) Y_h(x^)
+
+matching h^{(1)}_n(z) ~ (-i)^n e^{iz} (ik z)^{-(d-1)/2} k^{(d-1)/2} ... in
+our Bessel convention (special/_family.py).  Invalid regions (inside a
+sphere for kind="outer", outside for "inner") are NaN-masked functionally
+with jnp.where (the reference uses in-place boolean assignment,
+_biem.py:971-976, which cannot trace under jit).
+"""
+
+import jax.numpy as jnp
+
+from ..coords import from_cartesian
+from ..harmonics._eval import harmonics
+from ..harmonics._index import assume_n_end_from_num, basis
+from ..special._family import spherical_jh_all
+from ._layer import blc
+
+
+def biem_u(res, x, /, far_field=False, per_ball=False, expand_x=True):
+    """Scattered field at cartesian points x.
+
+    x: [c_ndim, ...(x)] if expand_x else [c_ndim, ...(x), ...(first)].
+    Returns [...(x), ...(first)] (plus trailing B if per_ball).
+    """
+    if res.density is None:
+        raise ValueError("The BIEMResult does not have density.")
+    c = res.c
+    d = c.c_ndim
+    density = res.density
+    n_end = assume_n_end_from_num(c, density.shape[-1])
+    b_ = basis(c, n_end)
+    n_idx = jnp.asarray(b_.n_root)
+    centers = res.centers  # [...first, B, d]
+    radii = res.radii
+    k = res.k
+    eta = res.eta
+    ndim_first = k.ndim
+    kind = res.kind
+
+    x = jnp.asarray(x)
+    ndim_x = x.ndim - 1 - (0 if expand_x else ndim_first)
+    if expand_x:
+        x_ = x[(...,) + (None,) * (ndim_first + 1)]  # [d, ...x, 1*first, 1(B)]
+    else:
+        x_ = x[..., None]  # [d, ...x, ...first, 1(B)]
+
+    centers_t = jnp.moveaxis(centers, -1, 0)  # [d, ...first, B]
+    rel = x_ - centers_t[(slice(None),) + (None,) * ndim_x + (...,)]
+    sph = from_cartesian(c, rel)
+    r = sph["r"]  # [...x, ...first, B]
+
+    k_e = k[(None,) * ndim_x + (...,) + (None,)]  # [...1, ...first, 1]
+    radii_e = radii[(None,) * ndim_x + (...,)]  # [...1, ...first, B]
+    eta_e = eta[(None,) * ndim_x + (...,) + (None,)]
+
+    # combined-field coefficient on each source sphere: [..., B, H]
+    # (blc appends the harmonic axis itself; eta_e already carries the B axis)
+    sd = blc(c, n_end, k_e, radii_e, eta_e)
+    if not far_field:
+        _, _, h, _ = spherical_jh_all(d, n_end, k_e * r)
+        sd = sd * jnp.take(h, n_idx, axis=-1)
+
+    dens = density[(None,) * ndim_x + (...,)]
+
+    if far_field:
+        # Y is evaluated at the observation direction x^ itself (the
+        # asymptotic direction is the same for every sphere).  The
+        # reference evaluates Y at the direction of (x^ - c_b)
+        # (_biem.py:885,922), which does not converge to the true
+        # far-field pattern for off-center spheres; we keep the correct
+        # asymptotics here.
+        y = harmonics(c, from_cartesian(c, x_), n_end)
+        phase_n = jnp.asarray((-1j) ** b_.n_root.astype(int))
+        farcoef = (1.0 / (1j * k_e) ** ((d - 1) / 2.0)) * jnp.exp(
+            1j
+            * k_e
+            * jnp.sum(
+                x_ * -centers_t[(slice(None),) + (None,) * ndim_x + (...,)], axis=0
+            )
+        )  # [...x, ...first, B]
+        u = jnp.sum(dens * sd * y * phase_n, axis=-1) * farcoef
+        if per_ball:
+            return u
+        return jnp.sum(u, axis=-1)
+
+    y = harmonics(c, sph, n_end)  # [...x, ...first, B, H]
+    u = jnp.sum(dens * sd * y, axis=-1)  # [...x, ...first, B]
+    if not per_ball:
+        u = jnp.sum(u, axis=-1)
+
+    if kind == "outer":
+        invalid = jnp.any(r < radii_e, axis=-1)
+    elif kind == "inner":
+        invalid = jnp.any(r > radii_e, axis=-1)
+    else:
+        raise ValueError(f"Invalid kind: {kind}")
+    if per_ball:
+        invalid = invalid[..., None]
+    return jnp.where(invalid, jnp.nan + 1j * jnp.nan, u)

@@ -1,0 +1,82 @@
+"""Incident-wave factories: plane wave and point source.
+
+API parity with the reference (`plane_wave` at _biem.py:329-388,
+`point_source` at _biem.py:391-450): each returns a pair of closures
+(u_in, grad u_in) with the reference's broadcast convention — input x of
+shape (c_ndim, ...(any), ...batch) where the trailing axes align with
+the factory's own k/direction batch shape.
+"""
+
+import jax.numpy as jnp
+
+from ..special._shn1 import shn1
+
+
+def _broadcast_shapes_or_raise(name_a, a_shape, name_b, b_shape):
+    try:
+        jnp.broadcast_shapes(a_shape, b_shape)
+    except Exception as e:
+        raise ValueError(
+            f"Shapes of {name_a} and {name_b} are not broadcastable: "
+            f"{tuple(a_shape)} vs {tuple(b_shape)}"
+        ) from e
+
+
+def plane_wave(*, k, direction):
+    r"""Plane wave u(x) = e^{i k d.x} with d = direction/|direction|.
+
+    k: [...]; direction: [c_ndim, ...].  Returns (u_in, grad_u_in).
+    """
+    k = jnp.asarray(k)
+    direction = jnp.asarray(direction)
+    _broadcast_shapes_or_raise("k", k.shape, "direction[1:]", direction.shape[1:])
+    if direction.ndim != k.ndim + 1:
+        raise ValueError(f"direction.ndim={direction.ndim} is not k.ndim+1={k.ndim + 1}")
+    direction = direction / jnp.linalg.norm(direction, axis=0, keepdims=True)
+
+    def _dir(x):
+        return direction[(slice(None),) + (None,) * (x.ndim - direction.ndim) + (...,)]
+
+    def uin(x, /):
+        x = jnp.asarray(x)
+        ip = jnp.sum(_dir(x) * x, axis=0)
+        return jnp.exp(1j * k * ip)
+
+    def uin_grad(x, /):
+        x = jnp.asarray(x)
+        dd = _dir(x)
+        ip = jnp.sum(dd * x, axis=0)
+        return 1j * k * dd * jnp.exp(1j * k * ip)[None, ...]
+
+    return uin, uin_grad
+
+
+def point_source(*, k, source, n=0):
+    r"""Point source u(x) = h^{(1)}_n(k |x - source|) in d dimensions.
+
+    k: [...]; source: [c_ndim, ...].  Returns (u_in, grad_u_in).
+    """
+    k = jnp.asarray(k)
+    source = jnp.asarray(source)
+    _broadcast_shapes_or_raise("k", k.shape, "source[1:]", source.shape[1:])
+    if source.ndim != k.ndim + 1:
+        raise ValueError(f"source.ndim={source.ndim} is not k.ndim+1={k.ndim + 1}")
+
+    def _rel(x):
+        x = jnp.asarray(x)
+        return x - source[(slice(None),) + (None,) * (x.ndim - source.ndim) + (...,)]
+
+    def uin(x, /):
+        xr = _rel(x)
+        d = int(xr.shape[0])
+        r = jnp.linalg.norm(xr, axis=0)
+        return shn1(n, d, k * r)
+
+    def uin_grad(x, /):
+        xr = _rel(x)
+        d = int(xr.shape[0])
+        r = jnp.linalg.norm(xr, axis=0)
+        coeff = k * shn1(n, d, k * r, derivative=True) / r
+        return coeff[None, ...] * xr
+
+    return uin, uin_grad

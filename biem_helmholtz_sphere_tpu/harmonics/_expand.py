@@ -14,9 +14,15 @@ from ._eval import harmonics
 from ._quad import sphere_quadrature
 
 
-@lru_cache(maxsize=64)
 def _quad_harmonics(c, n_end, deg):
     """Cached conj(Y) at quadrature nodes, pre-weighted: [Q, num]."""
+    import jax
+
+    return _quad_harmonics_impl(c, n_end, deg, jax.config.jax_enable_x64)
+
+
+@lru_cache(maxsize=64)
+def _quad_harmonics_impl(c, n_end, deg, _x64):
     sph, w = sphere_quadrature(c, deg)
     sph_j = {k: jnp.asarray(v) for k, v in sph.items()}
     y = harmonics(c, sph_j, n_end)

@@ -68,8 +68,15 @@ def _surface_area(d):
     return float(2.0 * np.pi ** (d / 2.0) / gamma(d / 2.0))
 
 
-@lru_cache(maxsize=32)
 def _quad_tables(c, n_out, n_in):
+    """Static quadrature tables (dtype follows the active x64 mode)."""
+    import jax
+
+    return _quad_tables_impl(c, n_out, n_in, jax.config.jax_enable_x64)
+
+
+@lru_cache(maxsize=32)
+def _quad_tables_impl(c, n_out, n_in, _x64):
     """Static quadrature tables for the (n_out, n_in) operator.
 
     Returns (w [Q], Yo_conj [Q, Ho], Yi [Q, Hi], s_cart [d, Q],

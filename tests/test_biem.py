@@ -1,0 +1,270 @@
+"""End-to-end solver tests against the reference's golden values.
+
+Oracles (SURVEY.md section 6 / BASELINE.md): the README doctest value,
+the jascome converged values per dimension, plus physics identities
+(far-field/near-field consistency, boundary condition residual) and
+jit/vmap behavior.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from biem_helmholtz_sphere_tpu import (
+    BIEMResultCalculator,
+    biem,
+    max_memory,
+    max_n_end,
+    plane_wave,
+    point_source,
+)
+from biem_helmholtz_sphere_tpu.coords import create_from_branching_types
+
+GOLDEN = [
+    # (branching type, n_end, uscat(0), tol) — two unit spheres at
+    # (0, +-2, 0, ...), k=1, eta=1, sound-soft, plane wave along x0
+    ("ba", 6, -0.741333 - 0.669657j, 2e-6),  # README.md:123-124
+    ("bpa", 6, -0.741333 - 0.669657j, 2e-6),
+    ("a", 9, -1.355933 - 0.657813j, 2e-6),  # jascome_output_2d.csv (n>=6)
+    ("bba", 6, -0.454651 - 0.423387j, 2e-6),  # jascome_output_4d.csv
+    ("bpbpa", 6, -0.454651 - 0.423387j, 2e-6),
+    ("caa", 6, -0.454651 - 0.423387j, 2e-6),
+]
+
+
+def _two_sphere_problem(btype, n_end, k=1.0, alpha=1.0, beta=0.0, eta=1.0, **kw):
+    c = create_from_branching_types(btype)
+    d = c.c_ndim
+    centers = np.zeros((2, d))
+    centers[0, 1] = 2.0
+    centers[1, 1] = -2.0
+    direction = np.zeros(d)
+    direction[0] = 1.0
+    k = np.asarray(k)
+    uin, uin_grad = plane_wave(k=k, direction=jnp.asarray(direction))
+    return c, biem(
+        c,
+        centers=jnp.asarray(centers),
+        radii=jnp.ones(2),
+        k=k,
+        n_end=n_end,
+        alpha=alpha,
+        beta=beta,
+        uin=uin,
+        uin_grad=uin_grad if (np.asarray(beta) != 0).any() else None,
+        eta=np.asarray(eta),
+        **kw,
+    )
+
+
+@pytest.mark.parametrize("btype,n_end,ref,tol", GOLDEN)
+def test_golden_values(btype, n_end, ref, tol):
+    c, calc = _two_sphere_problem(btype, n_end)
+    u0 = complex(np.asarray(calc.uscat(jnp.zeros((c.c_ndim, 1)))).reshape(-1)[0])
+    assert abs(u0 - ref) < tol, f"{btype}: {u0} vs {ref}"
+
+
+def test_convergence_in_n_end():
+    vals = []
+    for n_end in (4, 6, 8):
+        c, calc = _two_sphere_problem("ba", n_end)
+        vals.append(
+            complex(np.asarray(calc.uscat(jnp.zeros((3, 1)))).reshape(-1)[0])
+        )
+    ref = -0.741332 - 0.669660j  # jascome_output_3d.csv converged
+    errs = [abs(v - ref) for v in vals]
+    assert errs[1] < errs[0] and errs[2] <= errs[1] * 1.5
+    assert errs[2] < 1e-5
+
+
+def test_boundary_condition_residual():
+    # sound-soft: u_scat + u_in must vanish on each sphere surface
+    c, calc = _two_sphere_problem("ba", 14)
+    rng = np.random.default_rng(3)
+    y = rng.normal(size=(3, 50))
+    y /= np.linalg.norm(y, axis=0)
+    for center in ([0.0, 2.0, 0.0], [0.0, -2.0, 0.0]):
+        xs = jnp.asarray(y + np.asarray(center)[:, None] * 1.0000001)
+        us = np.asarray(calc.uscat(xs))
+        ui = np.asarray(calc.uin(xs))
+        assert np.nanmax(np.abs(us + ui)) < 1e-6
+
+
+def test_robin_bc_and_point_source():
+    # Robin (alpha=1, beta=1) with eta coupling; then a point source
+    c, calc = _two_sphere_problem("ba", 10, alpha=1.0, beta=1.0)
+    u0 = complex(np.asarray(calc.uscat(jnp.zeros((3, 1)))).reshape(-1)[0])
+    assert np.isfinite(u0.real) and np.isfinite(u0.imag)
+    # BC residual: alpha (u+uin) + beta d/dn (u+uin) = 0; check via finite diff
+    rng = np.random.default_rng(5)
+    y = rng.normal(size=(3, 20))
+    y /= np.linalg.norm(y, axis=0)
+    ctr = np.array([0.0, 2.0, 0.0])[:, None]
+    eps = 1e-5
+    tot = []
+    for shift in (1 + eps, 1 + 3 * eps):
+        xs = jnp.asarray(ctr + y * shift)
+        tot.append(
+            np.asarray(calc.uscat(xs)).ravel() + np.asarray(calc.uin(xs)).ravel()
+        )
+    u_mid = 0.5 * (tot[0] + tot[1])
+    dudn = (tot[1] - tot[0]) / (2 * eps)
+    assert np.max(np.abs(u_mid + dudn)) < 1e-3
+
+    # point source runs end to end
+    k = np.asarray(1.0)
+    src = jnp.asarray(np.array([5.0, 0.0, 0.0]))
+    uin, uin_grad = point_source(k=k, source=src, n=0)
+    c3 = create_from_branching_types("ba")
+    centers = jnp.asarray(np.array([[0.0, 2.0, 0.0], [0.0, -2.0, 0.0]]))
+    calc2 = biem(c3, centers=centers, radii=jnp.ones(2), k=k, n_end=6, uin=uin)
+    u = complex(np.asarray(calc2.uscat(jnp.zeros((3, 1)))).reshape(-1)[0])
+    assert np.isfinite(u.real)
+
+
+def test_far_field_matches_near_field_limit():
+    c, calc = _two_sphere_problem("ba", 10)
+    xhat = np.array([0.3, 0.5, 0.8])
+    xhat /= np.linalg.norm(xhat)
+    r = 4000.0
+    u_near = complex(
+        np.asarray(calc.uscat(jnp.asarray(xhat[:, None] * r))).reshape(-1)[0]
+    )
+    u_inf = complex(
+        np.asarray(calc.uscat(jnp.asarray(xhat[:, None]), far_field=True)).reshape(-1)[
+            0
+        ]
+    )
+    k = 1.0
+    pred = u_inf * np.exp(1j * k * r) / r ** ((3 - 1) / 2)
+    assert abs(u_near - pred) / abs(u_near) < 1e-3
+
+
+def test_single_sphere_fast_path_matches_matrix():
+    c = create_from_branching_types("ba")
+    k = np.asarray(1.2)
+    uin, _ = plane_wave(k=k, direction=jnp.asarray(np.array([1.0, 0.0, 0.0])))
+    common = dict(
+        centers=jnp.zeros((1, 3)), radii=jnp.ones(1) * 0.8, k=k, n_end=8, uin=uin
+    )
+    fast = biem(c, **common)
+    full = biem(c, **common, force_matrix=True)
+    assert fast.matrix is None and full.matrix is not None
+    np.testing.assert_allclose(
+        np.asarray(fast.density), np.asarray(full.density), rtol=1e-9
+    )
+    x = jnp.asarray(np.array([[2.0], [1.0], [0.3]]))
+    np.testing.assert_allclose(
+        np.asarray(fast.uscat(x)), np.asarray(full.uscat(x)), rtol=1e-9
+    )
+
+
+def test_nan_masking_inside_spheres():
+    c, calc = _two_sphere_problem("ba", 6)
+    x = jnp.asarray(np.array([[0.0, 0.0], [2.0, 0.0], [0.0, 0.0]]))  # inside / outside
+    u = np.asarray(calc.uscat(x))
+    assert np.isnan(u[0].real) and np.isfinite(u[1].real)
+    # per_ball keeps the B axis and masks the whole point
+    u2 = np.asarray(calc.uscat(x, per_ball=True))
+    assert u2.shape[-1] == 2 and np.isnan(u2[0]).all()
+
+
+def test_batched_k_sweep_and_jit():
+    c = create_from_branching_types("ba")
+    ks = jnp.asarray(np.linspace(0.5, 1.5, 4))
+    centers = jnp.broadcast_to(
+        jnp.asarray(np.array([[0.0, 2.0, 0.0], [0.0, -2.0, 0.0]])), (4, 2, 3)
+    )
+    direction = jnp.broadcast_to(
+        jnp.asarray(np.array([1.0, 0.0, 0.0]))[:, None], (3, 4)
+    )
+    uin, _ = plane_wave(k=ks, direction=direction)
+
+    def run(ks_):
+        uin_, _ = plane_wave(k=ks_, direction=direction)
+        calc = biem(
+            c,
+            centers=centers,
+            radii=jnp.ones((4, 2)),
+            k=ks_,
+            n_end=5,
+            uin=uin_,
+            eta=jnp.ones(4),
+        )
+        return calc.uscat(jnp.zeros((3, 1)))
+
+    u = np.asarray(run(ks))
+    assert u.shape == (1, 4)
+    u_jit = np.asarray(jax.jit(run)(ks))
+    np.testing.assert_allclose(u, u_jit, rtol=1e-10)
+    # batch entries must equal independent scalar solves
+    for i, kk in enumerate(np.asarray(ks)):
+        uin_i, _ = plane_wave(
+            k=jnp.asarray(kk), direction=jnp.asarray(np.array([1.0, 0.0, 0.0]))
+        )
+        calc_i = biem(
+            c,
+            centers=centers[0],
+            radii=jnp.ones(2),
+            k=jnp.asarray(kk),
+            n_end=5,
+            uin=uin_i,
+        )
+        u_i = np.asarray(calc_i.uscat(jnp.zeros((3, 1))))
+        np.testing.assert_allclose(u[0, i], u_i[0], rtol=1e-9)
+
+
+def test_memory_model_parity():
+    # reference formula semantics (_biem.py:23-74)
+    assert max_memory(c_ndim=3, n_end=6, n_balls=2) == 4 * 36**2
+    assert max_memory(c_ndim=4, n_end=3, n_balls=1) == (5 * 27) ** 2 * (11 * 216) * 16
+    n = max_n_end(c_ndim=3, memory_limit=10**9, n_balls=2)
+    assert max_memory(c_ndim=3, n_end=n, n_balls=2) <= 10**9
+    assert max_memory(c_ndim=3, n_end=n + 1, n_balls=2) > 10**9
+
+
+def test_input_validation():
+    c = create_from_branching_types("ba")
+    with pytest.raises(ValueError, match="not the same"):
+        biem(c, centers=jnp.zeros((1, 2, 3)), radii=jnp.ones(2), k=jnp.asarray(1.0), n_end=3)
+    with pytest.raises(ValueError, match="last dimension of centers"):
+        biem(c, centers=jnp.zeros((2, 4)), radii=jnp.ones(2), k=jnp.asarray(1.0), n_end=3)
+    with pytest.raises(ValueError, match="eta must be real"):
+        biem(
+            c,
+            centers=jnp.zeros((2, 3)),
+            radii=jnp.ones(2),
+            k=jnp.asarray(1.0),
+            eta=jnp.asarray(1.0 + 1j),
+            n_end=3,
+        )
+    with pytest.raises(ValueError, match="uin must be provided"):
+        biem(
+            c,
+            centers=jnp.zeros((2, 3)),
+            radii=jnp.ones(2),
+            k=jnp.asarray(1.0),
+            n_end=3,
+            uin_grad=lambda x: x,
+        )
+    with pytest.warns(UserWarning, match="interior"):
+        biem(
+            c,
+            centers=jnp.asarray([[0.0, 2.0, 0.0], [0.0, -2.0, 0.0]]),
+            radii=jnp.ones(2),
+            k=jnp.asarray(1.0),
+            eta=jnp.asarray(0.0),
+            n_end=2,
+        )
+
+
+def test_result_is_pytree():
+    c, calc = _two_sphere_problem("ba", 4)
+    leaves = jax.tree_util.tree_leaves(calc)
+    assert len(leaves) >= 5
+    calc2 = jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(calc), leaves
+    )
+    assert isinstance(calc2, BIEMResultCalculator)
+    assert calc2.n_end == calc.n_end
