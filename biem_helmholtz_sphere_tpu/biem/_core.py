@@ -60,7 +60,11 @@ def _check_biem_inputs(c, centers, radii, k, eta, alpha, beta):
     if jnp.issubdtype(eta.dtype, jnp.complexfloating):
         raise ValueError("The decoupling parameter eta must be real.")
     if _is_concrete(eta, k):
-        if bool(jnp.any(eta == 0)):
+        # host-side physics sanity checks on concrete values (numpy: avoids
+        # launching tiny device programs just to warn)
+        eta_np = np.asarray(eta)
+        k_np = np.asarray(k)
+        if bool(np.any(eta_np == 0)):
             warnings.warn(
                 "The solution may be incorrect if k is an eigenvalue of the "
                 "interior Neumann Laplacian (eta = 0; reference: "
@@ -68,7 +72,7 @@ def _check_biem_inputs(c, centers, radii, k, eta, alpha, beta):
                 UserWarning,
                 stacklevel=3,
             )
-        if bool(jnp.any((jnp.imag(k * (1.0 + 0j)) < 0) | (eta * jnp.real(k) < 0))):
+        if bool(np.any((np.imag(k_np) < 0) | (eta_np * np.real(k_np) < 0))):
             warnings.warn(
                 "The solution may be incorrect if not (Im k >= 0 and "
                 "eta Re k >= 0) (reference: _biem.py:278-285).",
@@ -211,7 +215,7 @@ def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method):
     a = jnp.zeros(batch + (n_balls, h_num, n_balls, h_num), dtype=dtype)
     diag = eye_h * (sing_row * blc_col)[..., :, :, None]  # [..., B, H, H']
     bidx = np.arange(n_balls)
-    diag = jnp.broadcast_to(diag, batch + (n_balls, h_num, h_num))
+    diag = jnp.broadcast_to(diag, batch + (n_balls, h_num, h_num)).astype(dtype)
     # separated advanced indices put the index axis FIRST in numpy semantics
     a = a.at[..., bidx, :, bidx, :].set(jnp.moveaxis(diag, -3, 0))
     if n_balls == 1:
@@ -227,7 +231,8 @@ def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method):
         c, t_cart, n_end, k[..., None], kind="SR", method=method
     )  # [..., NP, H(row), H'(col)]
     par = jnp.asarray(
-        (-1.0) ** (b_.n_root[:, None].astype(np.int64) + b_.n_root[None, :])
+        (-1.0) ** (b_.n_root[:, None].astype(np.int64) + b_.n_root[None, :]),
+        dtype=jnp.finfo(dtype).dtype,
     )
 
     # A[b, h, b', h'] = blc_col[b', h'] * SR(c_b - c_b')[h, h'] * reg_row[b, h]
@@ -241,8 +246,8 @@ def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method):
         * (par * sr_up)
         * blc_col[..., bu, None, :]
     )
-    up = jnp.broadcast_to(up, batch + up.shape[-3:])
-    down = jnp.broadcast_to(down, batch + down.shape[-3:])
+    up = jnp.broadcast_to(up, batch + up.shape[-3:]).astype(dtype)
+    down = jnp.broadcast_to(down, batch + down.shape[-3:]).astype(dtype)
     a = a.at[..., bu, :, bv, :].set(jnp.moveaxis(up, -3, 0))
     a = a.at[..., bv, :, bu, :].set(jnp.moveaxis(down, -3, 0))
     return a  # [..., B, H, B', H']

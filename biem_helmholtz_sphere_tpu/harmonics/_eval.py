@@ -26,6 +26,16 @@ from ..special._jacobi import orthonormal_jacobi_table
 from ._index import basis
 
 
+def _int_powers(x, n_max):
+    """[..., n_max+1] with entry i = x**i, via cumprod (TPU-safe: the
+    axon TPU backend lacks integer-exponent pow)."""
+    ones = jnp.ones_like(x)[..., None]
+    if n_max == 0:
+        return ones
+    rep = jnp.repeat(x[..., None], n_max, axis=-1)
+    return jnp.cumprod(jnp.concatenate([ones, rep], axis=-1), axis=-1)
+
+
 def _node_table(node, jobs, spherical):
     """[..., n_jobs] factor values for one node at its angle."""
     ang = jnp.asarray(spherical[node.nid])
@@ -43,7 +53,7 @@ def _node_table(node, jobs, spherical):
         table = orthonormal_jacobi_table(t, maxdeg, alphas, alphas)
         sin_t = jnp.sin(ang)
         nc_arr = np.array(ncs, dtype=np.int32)
-        sinpow = sin_t[..., None] ** nc_arr  # [..., F]
+        sinpow = _int_powers(sin_t, int(nc_arr.max()))[..., nc_arr]  # [..., F]
         fidx = np.array([fam_of[p[0]] for p in jobs])
         didx = np.array([p[1] - p[0] for p in jobs])
         return sinpow[..., fidx] * table[..., fidx, didx]
@@ -61,7 +71,11 @@ def _node_table(node, jobs, spherical):
     n1_arr = np.array([f[0] for f in fams], dtype=np.int32)
     n2_arr = np.array([f[1] for f in fams], dtype=np.int32)
     norm = 2.0 ** ((n1_arr + n2_arr) / 2.0 + (s1 + s2) / 4.0 + 0.5)
-    fampow = norm * cos_t[..., None] ** n1_arr * sin_t[..., None] ** n2_arr
+    fampow = (
+        norm
+        * _int_powers(cos_t, int(n1_arr.max()))[..., n1_arr]
+        * _int_powers(sin_t, int(n2_arr.max()))[..., n2_arr]
+    )
     fidx = np.array([fam_of[(p[0], p[1])] for p in jobs])
     jidx = np.array([(p[2] - p[0] - p[1]) // 2 for p in jobs])
     return fampow[..., fidx] * table[..., fidx, jidx]

@@ -23,10 +23,16 @@ def _quad_harmonics(c, n_end, deg):
 
 @lru_cache(maxsize=64)
 def _quad_harmonics_impl(c, n_end, deg, _x64):
-    sph, w = sphere_quadrature(c, deg)
-    sph_j = {k: jnp.asarray(v) for k, v in sph.items()}
-    y = harmonics(c, sph_j, n_end)
-    return sph, jnp.conj(y) * jnp.asarray(w)[:, None]
+    import jax
+
+    # Tables are constants: build them eagerly even if first touched
+    # inside a jit trace (caching tracers would leak them).
+    with jax.ensure_compile_time_eval():
+        sph, w = sphere_quadrature(c, deg)
+        sph_j = {k: jnp.asarray(v) for k, v in sph.items()}
+        y = harmonics(c, sph_j, n_end)
+        wy = jnp.conj(y) * jnp.asarray(w)[:, None]
+    return sph, wy
 
 
 def expand(c, f, n_end, deg=None):

@@ -1,0 +1,351 @@
+"""Real-pair complex arithmetic: the TPU-native complex number layer.
+
+TPU hardware has no complex units, and the axon TPU backend rejects
+complex dtypes outright (every jnp.complex64 op raises UNIMPLEMENTED).
+Production TPU numerics therefore carry complex arrays as explicit
+(real, imag) pairs of real arrays; that is what this module provides:
+
+  *  `C` — a frozen pytree dataclass (re, im) with full operator
+     overloading (+, -, *, /, @, **int, indexing, conj, abs, ...), so
+     numerical code reads exactly like complex jnp code;
+  *  contractions via the 3-multiplication Karatsuba split
+     (re = t1 - t2, im = (ar+ai)(br+bi) - t1 - t2), turning a complex
+     matmul into 3 real MXU matmuls instead of 4;
+  *  `solve` — complex linear solve through the real block embedding
+     [[Ar, -Ai], [Ai, Ar]] (TPU LU is real-only);
+  *  drop-in helpers (where, take, sum, einsum, exp, expi, ...) mirroring
+     the jnp API.
+
+`C` is a registered pytree: it flows through jit / vmap / scan carries /
+shardings unchanged.  On any backend the same code runs; CPU pays ~2x
+memory versus native complex64 but stays within a few percent on time.
+
+This replaces the complex-dtype usage of the reference's NumPy/Torch
+backends (SURVEY.md section 2.4 item 4) with a TPU-first representation.
+"""
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _coerce(o):
+    """C if o is complex-like, else None (meaning: treat o as real)."""
+    if isinstance(o, C):
+        return o
+    if isinstance(o, (np.ndarray, np.generic)):
+        if np.iscomplexobj(o):
+            return C(jnp.asarray(o.real), jnp.asarray(o.imag))
+        return None
+    if isinstance(o, complex):
+        return C(jnp.asarray(o.real), jnp.asarray(o.imag))
+    if hasattr(o, "dtype") and jnp.issubdtype(o.dtype, jnp.complexfloating):
+        return C(jnp.real(o), jnp.imag(o))
+    return None
+
+
+def _is_complex_like(x):
+    return _coerce(x) is not None
+
+
+@dataclass(frozen=True)
+class C:
+    """A complex array as a (re, im) pair of real arrays."""
+
+    re: Any
+    im: Any
+
+    # -- constructors -------------------------------------------------
+    @staticmethod
+    def of(x):
+        """Coerce anything complex-like (C, complex scalar, complex array,
+        real array) to C."""
+        if isinstance(x, C):
+            return x
+        if isinstance(x, complex):
+            return C(jnp.asarray(x.real), jnp.asarray(x.imag))
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jnp.complexfloating):
+            return C(jnp.real(x), jnp.imag(x))
+        return C(x, jnp.zeros_like(x))
+
+    @staticmethod
+    def zeros(shape, dtype=None):
+        dtype = dtype or jnp.float32
+        z = jnp.zeros(shape, dtype=dtype)
+        return C(z, z)
+
+    # -- array-ish metadata -------------------------------------------
+    @property
+    def shape(self):
+        return jnp.broadcast_shapes(jnp.shape(self.re), jnp.shape(self.im))
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    @property
+    def dtype(self):
+        return jnp.result_type(self.re, self.im)
+
+    @property
+    def real(self):
+        return self.re
+
+    @property
+    def imag(self):
+        return self.im
+
+    def astype(self, dtype):
+        return C(self.re.astype(dtype), self.im.astype(dtype))
+
+    def to_numpy(self):
+        """Materialize as a numpy complex array (host)."""
+        return np.asarray(self.re) + 1j * np.asarray(self.im)
+
+    def __complex__(self):
+        return complex(self.to_numpy().reshape(()))
+
+    # -- arithmetic ---------------------------------------------------
+    def __add__(self, o):
+        oc = _coerce(o)
+        if oc is not None:
+            return C(self.re + oc.re, self.im + oc.im)
+        # real operand: im must still broadcast to the result shape
+        re = self.re + o
+        return C(re, jnp.broadcast_to(self.im, jnp.shape(re)))
+
+    __radd__ = __add__
+
+    def __neg__(self):
+        return C(-self.re, -self.im)
+
+    def __sub__(self, o):
+        oc = _coerce(o)
+        if oc is not None:
+            return C(self.re - oc.re, self.im - oc.im)
+        re = self.re - o
+        return C(re, jnp.broadcast_to(self.im, jnp.shape(re)))
+
+    def __rsub__(self, o):
+        return (-self) + o
+
+    def __mul__(self, o):
+        oc = _coerce(o)
+        if oc is not None:
+            return C(
+                self.re * oc.re - self.im * oc.im,
+                self.re * oc.im + self.im * oc.re,
+            )
+        return C(self.re * o, self.im * o)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        oc = _coerce(o)
+        if oc is not None:
+            d = oc.re * oc.re + oc.im * oc.im
+            return C(
+                (self.re * oc.re + self.im * oc.im) / d,
+                (self.im * oc.re - self.re * oc.im) / d,
+            )
+        return C(self.re / o, self.im / o)
+
+    def __rtruediv__(self, o):
+        return C.of(o) / self
+
+    def __pow__(self, n):
+        if not isinstance(n, int):
+            raise TypeError("C ** exponent supports ints only; use cpow/exp")
+        if n < 0:
+            return 1.0 / (self ** (-n))
+        out = C.of(jnp.ones_like(self.re))
+        base = self
+        while n:
+            if n & 1:
+                out = out * base
+            base = base * base
+            n >>= 1
+        return out
+
+    def conj(self):
+        return C(self.re, -self.im)
+
+    def abs2(self):
+        return self.re * self.re + self.im * self.im
+
+    def __abs__(self):
+        return jnp.sqrt(self.abs2())
+
+    # -- shape ops ----------------------------------------------------
+    def _map(self, f):
+        return C(f(self.re), f(self.im))
+
+    def __getitem__(self, idx):
+        re, im = jnp.broadcast_arrays(self.re, self.im)
+        return C(re[idx], im[idx])
+
+    def reshape(self, *s):
+        return self._map(lambda a: a.reshape(*s))
+
+    def sum(self, axis=None):
+        return self._map(lambda a: jnp.sum(a, axis=axis))
+
+    def at_set(self, idx, val):
+        val = C.of(val)
+        re, im = jnp.broadcast_arrays(self.re, self.im)
+        return C(re.at[idx].set(val.re), im.at[idx].set(val.im))
+
+    def block_until_ready(self):
+        self.re.block_until_ready()
+        self.im.block_until_ready()
+        return self
+
+
+jax.tree_util.register_dataclass(C, data_fields=["re", "im"], meta_fields=[])
+
+
+# -- free functions ----------------------------------------------------
+def expi(theta):
+    """e^{i theta} for real theta."""
+    theta = jnp.asarray(theta)
+    return C(jnp.cos(theta), jnp.sin(theta))
+
+
+def exp(z):
+    """e^z for C (or real) z."""
+    if not isinstance(z, C):
+        return C.of(jnp.exp(jnp.asarray(z)))
+    m = jnp.exp(z.re)
+    return C(m * jnp.cos(z.im), m * jnp.sin(z.im))
+
+
+def ipow(n):
+    """i**n for an integer array n (host numpy): returns a C constant."""
+    n = np.asarray(n) % 4
+    re = np.where(n == 0, 1.0, np.where(n == 2, -1.0, 0.0))
+    im = np.where(n == 1, 1.0, np.where(n == 3, -1.0, 0.0))
+    return C(jnp.asarray(re), jnp.asarray(im))
+
+
+def sqrt(z):
+    """Principal square root of C z."""
+    z = C.of(z)
+    r = abs(z)
+    re = jnp.sqrt(jnp.maximum((r + z.re) / 2.0, 0.0))
+    im_mag = jnp.sqrt(jnp.maximum((r - z.re) / 2.0, 0.0))
+    return C(re, jnp.where(z.im < 0, -im_mag, im_mag))
+
+
+def log(z):
+    z = C.of(z)
+    return C(0.5 * jnp.log(z.abs2()), jnp.arctan2(z.im, z.re))
+
+
+def cpow(z, p):
+    """z**p for real (possibly non-integer) p."""
+    return exp(log(z) * p)
+
+
+def where(cond, a, b):
+    a = C.of(a)
+    b = C.of(b)
+    return C(jnp.where(cond, a.re, b.re), jnp.where(cond, a.im, b.im))
+
+
+def take(z, idx, axis=-1):
+    return C(jnp.take(z.re, idx, axis=axis), jnp.take(z.im, idx, axis=axis))
+
+
+def take_along_axis(z, idx, axis):
+    return C(
+        jnp.take_along_axis(z.re, idx, axis=axis),
+        jnp.take_along_axis(z.im, idx, axis=axis),
+    )
+
+
+def moveaxis(z, src, dst):
+    return z._map(lambda a: jnp.moveaxis(a, src, dst))
+
+
+def broadcast_to(z, shape):
+    return z._map(lambda a: jnp.broadcast_to(a, shape))
+
+
+def concatenate(zs, axis=0):
+    zs = [C.of(z) for z in zs]
+    return C(
+        jnp.concatenate([z.re for z in zs], axis=axis),
+        jnp.concatenate([z.im for z in zs], axis=axis),
+    )
+
+
+def stack(zs, axis=0):
+    zs = [C.of(z) for z in zs]
+    return C(
+        jnp.stack([z.re for z in zs], axis=axis),
+        jnp.stack([z.im for z in zs], axis=axis),
+    )
+
+
+def sum(z, axis=None):
+    return z.sum(axis=axis)
+
+
+def einsum(spec, a, b):
+    """Contraction of two operands, any mix of real / C.
+
+    C x C uses the Karatsuba 3-multiplication split: 3 real einsums
+    instead of 4 on the MXU.
+    """
+    a_c = isinstance(a, C) or _is_complex_like(a)
+    b_c = isinstance(b, C) or _is_complex_like(b)
+    if a_c and b_c:
+        a = C.of(a)
+        b = C.of(b)
+        t1 = jnp.einsum(spec, a.re, b.re)
+        t2 = jnp.einsum(spec, a.im, b.im)
+        t3 = jnp.einsum(spec, a.re + a.im, b.re + b.im)
+        return C(t1 - t2, t3 - t1 - t2)
+    if a_c:
+        a = C.of(a)
+        return C(jnp.einsum(spec, a.re, b), jnp.einsum(spec, a.im, b))
+    if b_c:
+        b = C.of(b)
+        return C(jnp.einsum(spec, a, b.re), jnp.einsum(spec, a, b.im))
+    return jnp.einsum(spec, a, b)
+
+
+def matmul(a, b):
+    a = C.of(a)
+    b = C.of(b)
+    t1 = a.re @ b.re
+    t2 = a.im @ b.im
+    t3 = (a.re + a.im) @ (b.re + b.im)
+    return C(t1 - t2, t3 - t1 - t2)
+
+
+def solve(a, b):
+    """Solve A x = b for C operands via the real block embedding.
+
+    A: [..., N, N], b: [..., N].  [[Ar, -Ai],[Ai, Ar]] [xr; xi] = [br; bi].
+    """
+    a = C.of(a)
+    b = C.of(b)
+    n = a.shape[-1]
+    top = jnp.concatenate([a.re, -a.im], axis=-1)
+    bot = jnp.concatenate([a.im, a.re], axis=-1)
+    m = jnp.concatenate([top, bot], axis=-2)  # [..., 2N, 2N]
+    rhs = jnp.concatenate([b.re, b.im], axis=-1)  # [..., 2N]
+    x = jnp.linalg.solve(m, rhs[..., None])[..., 0]
+    return C(x[..., :n], x[..., n:])
+
+
+def asarray_if_c(z):
+    """C -> jnp complex array (only valid on complex-supporting backends)."""
+    if isinstance(z, C):
+        return jnp.asarray(z.re) + 1j * jnp.asarray(z.im)
+    return z

@@ -1,0 +1,125 @@
+"""Multi-chip parallelism for sweeps and field evaluation.
+
+The reference has no distributed runtime (SURVEY.md section 2.5): its
+scaling axes are leading batch dims (k sweeps, BC grids, geometry
+ensembles) and HPC array jobs.  The TPU-native equivalents here:
+
+  *  `make_mesh`     — a jax.sharding.Mesh over the available devices
+  *  `sharded_sweep` — solve a k-sweep with the sweep axis sharded over
+     the mesh (data-parallel over ICI; no collectives needed beyond the
+     result gather)
+  *  `sharded_uscat` — evaluate the scattered field with the POINTS axis
+     sharded and the solved density replicated (the sequence-parallel
+     analogue for large near-field grids)
+
+Shardings are expressed with NamedSharding + jit; XLA inserts any
+required collectives (ICI-resident by construction: the mesh is 1D/2D
+over chips).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..biem import biem, plane_wave
+
+__all__ = ["make_mesh", "sharded_sweep", "sharded_uscat"]
+
+
+def make_mesh(n_devices=None, axis_names=("sweep",), shape=None):
+    """A mesh over the first n_devices devices.
+
+    shape: optional tuple matching axis_names (default: all devices on
+    the first axis).
+    """
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    if shape is None:
+        shape = (len(devs),) + (1,) * (len(axis_names) - 1)
+    arr = np.array(devs).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def sharded_sweep(
+    c,
+    *,
+    centers,
+    radii,
+    ks,
+    n_end,
+    direction,
+    alpha=1.0,
+    beta=0.0,
+    eta=None,
+    x=None,
+    mesh=None,
+    axis_name="sweep",
+):
+    """Solve the BIEM for every k in `ks` with the sweep axis sharded.
+
+    centers [B, d], radii [B] (shared geometry); ks [NK]; direction [d].
+    Returns uscat at x (default: the origin) of shape [NK].  NK must be
+    divisible by the mesh axis size.
+    """
+    if mesh is None:
+        mesh = make_mesh(axis_names=(axis_name,))
+    d = c.c_ndim
+    nk = ks.shape[0]
+    b = radii.shape[-1]
+    centers_b = jnp.broadcast_to(jnp.asarray(centers), (nk, b, d))
+    radii_b = jnp.broadcast_to(jnp.asarray(radii), (nk, b))
+    dir_b = jnp.broadcast_to(jnp.asarray(direction)[:, None], (d, nk))
+    eta_b = jnp.ones((nk,)) if eta is None else jnp.broadcast_to(jnp.asarray(eta), (nk,))
+    if x is None:
+        x = jnp.zeros((d, 1))
+
+    spec_k = NamedSharding(mesh, P(axis_name))
+    spec_kb = NamedSharding(mesh, P(axis_name, None))
+    spec_kbd = NamedSharding(mesh, P(axis_name, None, None))
+    spec_dk = NamedSharding(mesh, P(None, axis_name))
+    repl = NamedSharding(mesh, P())
+
+    def step(ks_, centers_, radii_, eta_, dir_):
+        uin, uin_grad = plane_wave(k=ks_, direction=dir_)
+        calc = biem(
+            c,
+            centers=centers_,
+            radii=radii_,
+            k=ks_,
+            n_end=n_end,
+            alpha=alpha,
+            beta=beta,
+            uin=uin,
+            uin_grad=uin_grad if np.any(np.asarray(beta) != 0) else None,
+            eta=eta_,
+        )
+        return calc.uscat(x)[0]
+
+    fn = jax.jit(
+        step,
+        in_shardings=(spec_k, spec_kbd, spec_kb, spec_k, spec_dk),
+        out_shardings=spec_k,
+    )
+    return fn(jnp.asarray(ks), centers_b, radii_b, eta_b, dir_b)
+
+
+def sharded_uscat(calc, x, mesh=None, axis_name="points", **kw):
+    """Evaluate calc.uscat with the points axis sharded over the mesh.
+
+    x: [d, N] with N divisible by the mesh axis size; the solved state
+    (density etc.) is replicated on every device.
+    """
+    if mesh is None:
+        mesh = make_mesh(axis_names=(axis_name,))
+    spec_x = NamedSharding(mesh, P(None, axis_name))
+    repl = NamedSharding(mesh, P())
+    calc_r = jax.device_put(calc, repl)
+
+    def ev(calc_, x_):
+        return calc_.uscat(x_, **kw)
+
+    fn = jax.jit(ev, in_shardings=(repl, spec_x))
+    return fn(calc_r, jnp.asarray(x))

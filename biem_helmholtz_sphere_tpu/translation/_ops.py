@@ -82,26 +82,30 @@ def _quad_tables_impl(c, n_out, n_in, _x64):
     Returns (w [Q], Yo_conj [Q, Ho], Yi [Q, Hi], s_cart [d, Q],
     phase [Ho, Hi], n_o [Ho], n_i [Hi]).
     """
+    import jax
+
     deg = 2 * ((n_out - 1) + (n_in - 1))
-    sph, w = sphere_quadrature(c, deg)
-    sph_j = {key: jnp.asarray(v) for key, v in sph.items()}
-    yo = harmonics(c, sph_j, n_out)
-    yi = yo if n_in == n_out else harmonics(c, sph_j, n_in)
-    s_cart = to_cartesian(c, sph_j, include_r=False)
-    bo = basis(c, n_out)
-    bi = basis(c, n_in)
-    phase = 1j ** (
-        bo.n_root[:, None].astype(np.int64) - bi.n_root[None, :].astype(np.int64)
-    )
-    return (
-        jnp.asarray(w),
-        jnp.conj(yo),
-        yi,
-        s_cart,
-        jnp.asarray(phase),
-        bo.n_root,
-        bi.n_root,
-    )
+    with jax.ensure_compile_time_eval():
+        sph, w = sphere_quadrature(c, deg)
+        sph_j = {key: jnp.asarray(v) for key, v in sph.items()}
+        yo = harmonics(c, sph_j, n_out)
+        yi = yo if n_in == n_out else harmonics(c, sph_j, n_in)
+        s_cart = to_cartesian(c, sph_j, include_r=False)
+        bo = basis(c, n_out)
+        bi = basis(c, n_in)
+        phase = 1j ** (
+            bo.n_root[:, None].astype(np.int64) - bi.n_root[None, :].astype(np.int64)
+        )
+        out = (
+            jnp.asarray(w),
+            jnp.conj(yo),
+            yi,
+            s_cart,
+            jnp.asarray(phase),
+            bo.n_root,
+            bi.n_root,
+        )
+    return out
 
 
 @lru_cache(maxsize=32)
@@ -135,11 +139,13 @@ def _graf_2d(c, t_sph, n_out, n_in, k, kind):
     tab = hf if kind == "SR" else jf  # [..., mu_max+1], = sqrt(pi/2) * (H or J)
     tab = tab * np.sqrt(2.0 / np.pi)  # back to standard cylinder functions
     ipow = jnp.asarray(
-        1j ** ((np.abs(mo)[:, None] - np.abs(mi)[None, :] + np.abs(mu)) % 4)
+        1j ** ((np.abs(mo)[:, None] - np.abs(mi)[None, :] + np.abs(mu)) % 4),
+        dtype=tab.dtype,
     )
     gathered = jnp.take(tab, jnp.asarray(np.abs(mu)), axis=-1)  # [..., Ho, Hi]
-    phase = jnp.exp(1j * theta[..., None, None] * jnp.asarray(mu))
-    return gathered * ipow * phase
+    mu_f = jnp.asarray(mu, dtype=z.real.dtype)
+    phase = jnp.exp(1j * theta[..., None, None].astype(z.real.dtype) * mu_f)
+    return gathered * ipow * phase.astype(tab.dtype)
 
 
 def _sr_banded(c, t_sph, n_out, n_in, k, kind):
@@ -148,9 +154,16 @@ def _sr_banded(c, t_sph, n_out, n_in, k, kind):
     w, yoc, yi, s_cart, phase, n_o, n_i = _quad_tables(c, n_out, n_in)
     k = jnp.asarray(k)
     r_t = t_sph["r"]
+    cdt = jnp.result_type(k.dtype, r_t.dtype, jnp.complex64)
+    rdt = jnp.finfo(cdt).dtype
+    w = w.astype(rdt)
+    yoc = yoc.astype(cdt)
+    yi = yi.astype(cdt)
+    phase = phase.astype(cdt)
+    s_cart = s_cart.astype(rdt)
     t_hat = to_cartesian(c, {**t_sph, "r": jnp.ones_like(r_t)})
     # cos(gamma) between t^ and each quadrature direction: [..., Q]
-    x = jnp.tensordot(jnp.moveaxis(t_hat, 0, -1), s_cart, axes=(-1, 0))
+    x = jnp.tensordot(jnp.moveaxis(t_hat, 0, -1).astype(rdt), s_cart, axes=(-1, 0))
 
     n_bands = (n_out - 1) + (n_in - 1) + 1
     z = k * r_t
@@ -173,7 +186,7 @@ def _sr_banded(c, t_sph, n_out, n_in, k, kind):
         rad_n2 = jnp.take(rad, n2.astype(jnp.int32), axis=-1)  # [...]
         band = (
             a_d
-            * jnp.exp(1j * (np.pi / 2.0) * n2)
+            * jnp.exp(1j * (np.pi / 2.0) * n2).astype(rad_n2.dtype)
             * rad_n2[..., None]
             * zonal
             * w
@@ -239,8 +252,14 @@ def translation_matrix(c, t, n_end, k, kind="SR", n_end_add=None, method=None):
         w, yoc, yi, s_cart, phase, _, _ = _quad_tables(c, n_end, n_in)
         if t_cart is None:
             t_cart = to_cartesian(c, t_sph)
-        ts = jnp.tensordot(jnp.moveaxis(t_cart, 0, -1), s_cart, axes=(-1, 0))
-        f = jnp.exp(1j * k[..., None] * ts) * w
-        return jnp.einsum("...q,qa,qb->...ab", f, yoc, yi) * phase
+        cdt = jnp.result_type(k.dtype, t_cart.dtype, jnp.complex64)
+        rdt = jnp.finfo(cdt).dtype
+        ts = jnp.tensordot(
+            jnp.moveaxis(t_cart, 0, -1).astype(rdt), s_cart.astype(rdt), axes=(-1, 0)
+        )
+        f = jnp.exp(1j * k[..., None].astype(rdt) * ts) * w.astype(rdt)
+        return jnp.einsum(
+            "...q,qa,qb->...ab", f, yoc.astype(cdt), yi.astype(cdt)
+        ) * phase.astype(cdt)
 
     return _sr_banded(c, t_sph, n_end, n_in, k, kind)
