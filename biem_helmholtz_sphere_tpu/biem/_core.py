@@ -14,11 +14,13 @@ block system
   f[b,h] = int_S [-alpha_b u_in - beta_b grad u_in . n](c_b + rho_b y)
            conj(Y_h(y)) dy
 
-is solved with XLA's batched LU (replacing `batch-tensorsolve`,
-reference _biem.py:797).  All leading batch axes (k sweeps, BC grids,
-geometry ensembles) broadcast through, exactly as in the reference
-(_biem.py:77-101, 288-307); under jit everything fuses and the batch is
-one XLA program.
+is solved with XLA's batched LU through the real block embedding
+(ops/cplx.solve; replaces `batch-tensorsolve`, reference _biem.py:797).
+All leading batch axes (k sweeps, BC grids, geometry ensembles)
+broadcast through, exactly as in the reference (_biem.py:77-101,
+288-307); under jit everything fuses into one XLA program.  All complex
+quantities are real-pair C values (ops/cplx.py) so the whole pipeline
+runs on complex-free TPU backends.
 """
 
 import warnings
@@ -31,39 +33,56 @@ import numpy as np
 
 from ..harmonics._expand import _quad_harmonics
 from ..harmonics._index import basis
+from ..ops import cplx
+from ..ops.cplx import C
 from ..special._family import spherical_jh_all
 from ..translation._ops import translation_matrix
 from ._layer import blc
 from ._memory import max_memory, max_n_end  # noqa: F401  (re-exported)
 
+# pairs of spheres processed per translation chunk (bounds the
+# [chunk, Q, H] intermediate of the banded contraction)
+_PAIR_CHUNK = 16
+
 
 def _is_concrete(*arrays):
-    return not any(isinstance(a, jax.core.Tracer) for a in arrays)
+    leaves = jax.tree_util.tree_leaves(arrays)
+    return not any(isinstance(a, jax.core.Tracer) for a in leaves)
+
+
+def _to_np(x):
+    return x.to_numpy() if isinstance(x, C) else np.asarray(x)
 
 
 def _check_biem_inputs(c, centers, radii, k, eta, alpha, beta):
-    """Validate/normalize inputs (reference: _biem.py:240-326)."""
+    """Validate/normalize inputs (reference: _biem.py:240-326).
+
+    alpha/beta are promoted to real-pair complex C; k stays real unless
+    complex-valued input was given (then C).
+    """
     centers = jnp.asarray(centers)
     radii = jnp.asarray(radii)
-    k = jnp.asarray(k)
+    if not isinstance(k, C):
+        k = jnp.asarray(k)
+        if jnp.issubdtype(k.dtype, jnp.complexfloating):
+            k = C.of(k)
     if eta is None:
         eta = jnp.asarray(1.0).reshape((1,) * k.ndim)
     else:
         eta = jnp.asarray(eta)
-    alpha = jnp.asarray(alpha)
+        if jnp.issubdtype(eta.dtype, jnp.complexfloating):
+            raise ValueError("The decoupling parameter eta must be real.")
+    alpha = C.of(alpha)
     if alpha.ndim == 0:
         alpha = alpha.reshape((1,) * (k.ndim + 1))
-    beta = jnp.asarray(beta)
+    beta = C.of(beta)
     if beta.ndim == 0:
         beta = beta.reshape((1,) * (k.ndim + 1))
 
-    if jnp.issubdtype(eta.dtype, jnp.complexfloating):
-        raise ValueError("The decoupling parameter eta must be real.")
     if _is_concrete(eta, k):
-        # host-side physics sanity checks on concrete values (numpy: avoids
-        # launching tiny device programs just to warn)
+        # host-side physics sanity checks on concrete values
         eta_np = np.asarray(eta)
-        k_np = np.asarray(k)
+        k_np = _to_np(k)
         if bool(np.any(eta_np == 0)):
             warnings.warn(
                 "The solution may be incorrect if k is an eigenvalue of the "
@@ -121,9 +140,9 @@ def _check_biem_inputs(c, centers, radii, k, eta, alpha, beta):
 class BIEMResultCalculator:
     """Solved BIEM state; `uscat` evaluates the scattered field.
 
-    Registered as a JAX pytree: array leaves flow through jit/vmap, the
-    coordinate tree / n_end / kind / uin are static metadata (reference
-    analogue: the attrs class at _biem.py:196-237).
+    Registered as a JAX pytree: array leaves (including real-pair C
+    values) flow through jit/vmap; the coordinate tree / n_end / kind /
+    uin are static metadata (reference analogue: _biem.py:196-237).
     """
 
     centers: Any
@@ -153,7 +172,7 @@ jax.tree_util.register_dataclass(
 
 
 def _rhs_expansion(c, n_end, centers, radii, alpha, beta, uin, uin_grad, ndim_first):
-    """Boundary-data expansion f[..., B, H] (reference: _biem.py:611-639)."""
+    """Boundary-data expansion f: C [..., B, H] (reference: _biem.py:611-639)."""
     deg = 2 * (n_end - 1) + 1
     sph_np, wy = _quad_harmonics(c, n_end, deg)
     sph_j = {key: jnp.asarray(v) for key, v in sph_np.items()}
@@ -167,26 +186,30 @@ def _rhs_expansion(c, n_end, centers, radii, alpha, beta, uin, uin_grad, ndim_fi
     centers_t = jnp.moveaxis(jnp.moveaxis(centers, -1, 0), -1, 1)  # [d, B, ...first]
     xhat_e = xhat.reshape((d, q, 1) + (1,) * ndim_first)
     x = radii_t[None, None] * xhat_e + centers_t[:, None]
-    alpha_t = jnp.moveaxis(alpha, -1, 0)  # [B, ...a]
-    beta_t = jnp.moveaxis(beta, -1, 0)
-    vals = 0.0
+    alpha_t = cplx.moveaxis(alpha, -1, 0)  # C [B, ...a]
+    beta_t = cplx.moveaxis(beta, -1, 0)
+    vals = C.of(0.0)
     if uin is not None:
-        vals = vals - alpha_t * uin(x)
+        vals = vals - alpha_t * C.of(uin(x))
     if uin_grad is not None:
-        vals = vals - beta_t * jnp.sum(uin_grad(x) * xhat_e, axis=0)
+        vals = vals - beta_t * (C.of(uin_grad(x)) * xhat_e).sum(axis=0)
     # vals: [Q, B, ...first] -> project -> [B, ...first, H]
-    f = jnp.einsum("q...,qh->...h", vals, wy)
-    return jnp.moveaxis(f, 0, -2)  # [...first, B, H]
+    f = cplx.einsum("q...,qh->...h", vals, wy)
+    return cplx.moveaxis(f, 0, -2)  # [...first, B, H]
+
+
+def _k_mul(k, x):
+    return k * x  # works for real jnp k and C k alike
 
 
 def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method):
-    """Dense block matrix [..., B, H, B', H'] (reference: _biem.py:694-792).
+    """Dense block matrix C [..., B, H, B', H'] (reference: _biem.py:694-792).
 
-    The (S|R) coupling is computed only for ordered pairs b < b'; the
+    The (S|R) coupling is computed only for ordered pairs b < b' (the
     mirror block follows from the exact parity relation
-    SR(-t)[h',h] = (-1)^{n_h + n_h'} SR(t)[h',h], halving the dominant
-    translation cost.  Radial row/column factors are fused in before the
-    full [B, H, B', H'] tensor is materialized.
+    SR(-t)[h',h] = (-1)^{n_h+n_h'} SR(t)[h',h]), in chunks of _PAIR_CHUNK
+    pairs to bound the [chunk, Q, H] contraction intermediates; radial
+    row/column factors are fused in before the full tensor is formed.
     """
     d = c.c_ndim
     b_ = basis(c, n_end)
@@ -195,62 +218,84 @@ def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method):
     h_num = b_.num
 
     # per-sphere radial tables
-    j, jp, h, hp = spherical_jh_all(d, n_end, k[..., None] * radii)
-    jH = jnp.take(j, n_idx, axis=-1)
-    jpH = jnp.take(jp, n_idx, axis=-1)
-    hH = jnp.take(h, n_idx, axis=-1)
-    hpH = jnp.take(hp, n_idx, axis=-1)
+    j, jp, h, hp = spherical_jh_all(d, n_end, _k_mul(k[..., None], radii))
+    jH = cplx.take(j, n_idx, axis=-1)
+    jpH = cplx.take(jp, n_idx, axis=-1)
+    hH = cplx.take(h, n_idx, axis=-1)
+    hpH = cplx.take(hp, n_idx, axis=-1)
     k_b = k[..., None, None]  # [..., 1(B), 1(H)]
-    sing_row = alpha[..., None] * hH + beta[..., None] * k_b * hpH  # [..., B, H]
-    reg_row = alpha[..., None] * jH + beta[..., None] * k_b * jpH
+    sing_row = alpha[..., None] * hH + beta[..., None] * (hpH * k_b)  # [..., B, H]
+    reg_row = alpha[..., None] * jH + beta[..., None] * (jpH * k_b)
     blc_col = blc(c, n_end, k[..., None], radii, eta[..., None])  # [..., B', H']
 
     batch = jnp.broadcast_shapes(
         centers.shape[:-2], k.shape, eta.shape, sing_row.shape[:-2]
     )
-    dtype = jnp.result_type(blc_col.dtype, jnp.complex64)
+    rdt = blc_col.dtype
 
     # diagonal blocks: delta_{hh'} blc_col[b,h'] sing_row[b,h]
-    eye_h = jnp.eye(h_num, dtype=dtype)
-    a = jnp.zeros(batch + (n_balls, h_num, n_balls, h_num), dtype=dtype)
-    diag = eye_h * (sing_row * blc_col)[..., :, :, None]  # [..., B, H, H']
+    eye_h = jnp.eye(h_num, dtype=rdt)
+    a = C.zeros(batch + (n_balls, h_num, n_balls, h_num), dtype=rdt)
+    diag = (sing_row * blc_col)[..., :, :, None] * eye_h  # C [..., B, H, H']
     bidx = np.arange(n_balls)
-    diag = jnp.broadcast_to(diag, batch + (n_balls, h_num, h_num)).astype(dtype)
+    diag = cplx.broadcast_to(diag, batch + (n_balls, h_num, h_num))
     # separated advanced indices put the index axis FIRST in numpy semantics
-    a = a.at[..., bidx, :, bidx, :].set(jnp.moveaxis(diag, -3, 0))
+    a = a.at_set(
+        (Ellipsis, bidx, slice(None), bidx, slice(None)),
+        cplx.moveaxis(diag, -3, 0),
+    )
     if n_balls == 1:
         return a
 
     # ordered pairs b < b'
     bu, bv = np.triu_indices(n_balls, k=1)
-    t = (
-        centers[..., bu, :] - centers[..., bv, :]
-    )  # [..., NP, d] ; t = c_b - c_b'
+    t = centers[..., bu, :] - centers[..., bv, :]  # [..., NP, d]; t = c_b - c_b'
     t_cart = jnp.moveaxis(t, -1, 0)
-    sr_up = translation_matrix(
-        c, t_cart, n_end, k[..., None], kind="SR", method=method
-    )  # [..., NP, H(row), H'(col)]
+    n_pairs = len(bu)
+
+    if n_pairs <= _PAIR_CHUNK:
+        sr_up = translation_matrix(
+            c, t_cart, n_end, k[..., None], kind="SR", method=method
+        )  # C [..., NP, H(row), H'(col)]
+    else:
+        # chunk the pair axis to bound translation intermediates
+        n_chunks = -(-n_pairs // _PAIR_CHUNK)
+        pad = n_chunks * _PAIR_CHUNK - n_pairs
+        t_pad = jnp.concatenate(
+            [t_cart, jnp.repeat(t_cart[..., :1], pad, axis=-1)], axis=-1
+        )
+        t_chunks = jnp.moveaxis(
+            t_pad.reshape(t_pad.shape[:-1] + (n_chunks, _PAIR_CHUNK)), -2, 0
+        )  # [n_chunks, d, ..., PC]
+
+        def one_chunk(t_c):
+            return translation_matrix(
+                c, t_c, n_end, k[..., None], kind="SR", method=method
+            )
+
+        sr_chunks = jax.lax.map(one_chunk, t_chunks)  # C [n_chunks, ..., PC, H, H]
+        sr_up = cplx.moveaxis(sr_chunks, 0, -4)
+        sr_up = sr_up.reshape(
+            sr_up.shape[:-4] + (n_chunks * _PAIR_CHUNK,) + sr_up.shape[-2:]
+        )[..., :n_pairs, :, :]
+
     par = jnp.asarray(
         (-1.0) ** (b_.n_root[:, None].astype(np.int64) + b_.n_root[None, :]),
-        dtype=jnp.finfo(dtype).dtype,
+        dtype=rdt,
     )
 
     # A[b, h, b', h'] = blc_col[b', h'] * SR(c_b - c_b')[h, h'] * reg_row[b, h]
-    up = (
-        reg_row[..., bu, :, None]
-        * sr_up
-        * blc_col[..., bv, None, :]
+    up = reg_row[..., bu, :, None] * sr_up * blc_col[..., bv, None, :]
+    down = reg_row[..., bv, :, None] * (sr_up * par) * blc_col[..., bu, None, :]
+    up = cplx.broadcast_to(up, batch + up.shape[-3:])
+    down = cplx.broadcast_to(down, batch + down.shape[-3:])
+    a = a.at_set(
+        (Ellipsis, bu, slice(None), bv, slice(None)), cplx.moveaxis(up, -3, 0)
     )
-    down = (
-        reg_row[..., bv, :, None]
-        * (par * sr_up)
-        * blc_col[..., bu, None, :]
+    a = a.at_set(
+        (Ellipsis, bv, slice(None), bu, slice(None)), cplx.moveaxis(down, -3, 0)
     )
-    up = jnp.broadcast_to(up, batch + up.shape[-3:]).astype(dtype)
-    down = jnp.broadcast_to(down, batch + down.shape[-3:]).astype(dtype)
-    a = a.at[..., bu, :, bv, :].set(jnp.moveaxis(up, -3, 0))
-    a = a.at[..., bv, :, bu, :].set(jnp.moveaxis(down, -3, 0))
-    return a  # [..., B, H, B', H']
+    return a  # C [..., B, H, B', H']
 
 
 def biem(
@@ -274,8 +319,10 @@ def biem(
 
     API parity with the reference `biem()` (_biem.py:453-581): same
     parameter names, shapes ([..., B, d] centers, [..., B] radii, [...] k,
-    [...(,B)] alpha/beta, [...] eta) and result object.  Fully jittable
-    for fixed (c, n_end, B); leading batch axes broadcast.
+    [...(,B)] alpha/beta, [...] eta) and result object.  Complex values
+    (alpha/beta/k inputs, density/matrix outputs, uscat results) are
+    real-pair C (ops/cplx.py); use .to_numpy() for numpy complex.  Fully
+    jittable for fixed (c, n_end, B); leading batch axes broadcast.
     """
     centers, radii, k, eta, alpha, beta = _check_biem_inputs(
         c, centers, radii, k, eta, alpha, beta
@@ -286,12 +333,20 @@ def biem(
     if uin is None and uin_grad is None:
         f_exp = None
     else:
-        if _is_concrete(alpha) and not bool(jnp.all(alpha == 0)) and uin is None:
+        if (
+            _is_concrete(alpha)
+            and not bool(np.all(alpha.to_numpy() == 0))
+            and uin is None
+        ):
             raise ValueError(
                 "alpha is not zero, but uin is None. uin must be provided to "
                 "compute the boundary condition."
             )
-        if _is_concrete(beta) and not bool(jnp.all(beta == 0)) and uin_grad is None:
+        if (
+            _is_concrete(beta)
+            and not bool(np.all(beta.to_numpy() == 0))
+            and uin_grad is None
+        ):
             raise ValueError(
                 "beta is not zero, but uin_grad is None. uin_grad must be "
                 "provided to compute the boundary condition."
@@ -307,10 +362,10 @@ def biem(
         d = c.c_ndim
         b_ = basis(c, n_end)
         n_idx = jnp.asarray(b_.n_root)
-        _, _, h, hp = spherical_jh_all(d, n_end, k[..., None] * radii)
-        hH = jnp.take(h, n_idx, axis=-1)
-        hpH = jnp.take(hp, n_idx, axis=-1)
-        sing = alpha[..., None] * hH + beta[..., None] * k[..., None, None] * hpH
+        _, _, h, hp = spherical_jh_all(d, n_end, _k_mul(k[..., None], radii))
+        hH = cplx.take(h, n_idx, axis=-1)
+        hpH = cplx.take(hp, n_idx, axis=-1)
+        sing = alpha[..., None] * hH + beta[..., None] * (hpH * k[..., None, None])
         sd = blc(c, n_end, k[..., None], radii, eta[..., None]) * sing
         density = f_exp / sd
         matrix = None
@@ -331,15 +386,13 @@ def biem(
         else:
             h_num = matrix.shape[-1]
             batch = jnp.broadcast_shapes(matrix.shape[:-4], f_exp.shape[:-2])
-            m2 = jnp.broadcast_to(
-                matrix, batch + matrix.shape[-4:]
-            ).reshape(batch + (n_balls * h_num, n_balls * h_num))
-            f2 = jnp.broadcast_to(f_exp, batch + f_exp.shape[-2:]).reshape(
+            m2 = cplx.broadcast_to(matrix, batch + matrix.shape[-4:]).reshape(
+                batch + (n_balls * h_num, n_balls * h_num)
+            )
+            f2 = cplx.broadcast_to(f_exp, batch + f_exp.shape[-2:]).reshape(
                 batch + (n_balls * h_num,)
             )
-            density = jnp.linalg.solve(m2, f2[..., None])[..., 0].reshape(
-                batch + (n_balls, h_num)
-            )
+            density = cplx.solve(m2, f2).reshape(batch + (n_balls, h_num))
 
     if uin is None:
         uin_wrapped = None

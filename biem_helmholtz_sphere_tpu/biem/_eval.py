@@ -10,24 +10,26 @@ Far field (x^ a unit direction):
     u_inf(x^) = (ik)^{-(d-1)/2} sum_b e^{-i k x^.c_b}
                 sum_h (-i)^{n_h} phi[b,h] blc_{n_h}(rho_b, eta) Y_h(x^)
 
-matching h^{(1)}_n(z) ~ (-i)^n e^{iz} (ik z)^{-(d-1)/2} k^{(d-1)/2} ... in
-our Bessel convention (special/_family.py).  Invalid regions (inside a
-sphere for kind="outer", outside for "inner") are NaN-masked functionally
-with jnp.where (the reference uses in-place boolean assignment,
-_biem.py:971-976, which cannot trace under jit).
+Invalid regions (inside a sphere for kind="outer", outside for "inner")
+are NaN-masked functionally with cplx.where (the reference uses in-place
+boolean assignment, _biem.py:971-976, which cannot trace under jit).
+All complex values are real-pair C.
 """
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..coords import from_cartesian
 from ..harmonics._eval import harmonics
 from ..harmonics._index import assume_n_end_from_num, basis
+from ..ops import cplx
+from ..ops.cplx import C
 from ..special._family import spherical_jh_all
 from ._layer import blc
 
 
 def biem_u(res, x, /, far_field=False, per_ball=False, expand_x=True):
-    """Scattered field at cartesian points x.
+    """Scattered field at cartesian points x: C.
 
     x: [c_ndim, ...(x)] if expand_x else [c_ndim, ...(x), ...(first)].
     Returns [...(x), ...(first)] (plus trailing B if per_ball).
@@ -55,20 +57,29 @@ def biem_u(res, x, /, far_field=False, per_ball=False, expand_x=True):
         x_ = x[..., None]  # [d, ...x, ...first, 1(B)]
 
     centers_t = jnp.moveaxis(centers, -1, 0)  # [d, ...first, B]
-    rel = x_ - centers_t[(slice(None),) + (None,) * ndim_x + (...,)]
+    centers_e = centers_t[(slice(None),) + (None,) * ndim_x + (...,)]
+    rel = x_ - centers_e
     sph = from_cartesian(c, rel)
     r = sph["r"]  # [...x, ...first, B]
 
-    k_e = k[(None,) * ndim_x + (...,) + (None,)]  # [...1, ...first, 1]
+    def _expand_k(extra):
+        if isinstance(k, C):
+            return C(
+                k.re[(None,) * ndim_x + (...,) + (None,) * extra],
+                k.im[(None,) * ndim_x + (...,) + (None,) * extra],
+            )
+        return k[(None,) * ndim_x + (...,) + (None,) * extra]
+
+    k_e = _expand_k(1)  # [...1, ...first, 1]
     radii_e = radii[(None,) * ndim_x + (...,)]  # [...1, ...first, B]
     eta_e = eta[(None,) * ndim_x + (...,) + (None,)]
 
-    # combined-field coefficient on each source sphere: [..., B, H]
+    # combined-field coefficient on each source sphere: C [..., B, H]
     # (blc appends the harmonic axis itself; eta_e already carries the B axis)
     sd = blc(c, n_end, k_e, radii_e, eta_e)
     if not far_field:
         _, _, h, _ = spherical_jh_all(d, n_end, k_e * r)
-        sd = sd * jnp.take(h, n_idx, axis=-1)
+        sd = sd * cplx.take(h, n_idx, axis=-1)
 
     dens = density[(None,) * ndim_x + (...,)]
 
@@ -80,23 +91,20 @@ def biem_u(res, x, /, far_field=False, per_ball=False, expand_x=True):
         # far-field pattern for off-center spheres; we keep the correct
         # asymptotics here.
         y = harmonics(c, from_cartesian(c, x_), n_end)
-        phase_n = jnp.asarray((-1j) ** b_.n_root.astype(int))
-        farcoef = (1.0 / (1j * k_e) ** ((d - 1) / 2.0)) * jnp.exp(
-            1j
-            * k_e
-            * jnp.sum(
-                x_ * -centers_t[(slice(None),) + (None,) * ndim_x + (...,)], axis=0
-            )
-        )  # [...x, ...first, B]
-        u = jnp.sum(dens * sd * y * phase_n, axis=-1) * farcoef
+        phase_n = cplx.ipow(-b_.n_root.astype(np.int64))
+        kk = k_e if isinstance(k_e, C) else C.of(k_e)
+        pref = 1.0 / cplx.cpow(kk * 1j, (d - 1) / 2.0)
+        phase_b = cplx.exp(kk * jnp.sum(x_ * -centers_e, axis=0) * 1j)
+        farcoef = pref * phase_b  # [...x, ...first, B]
+        u = (dens * sd * y * phase_n).sum(axis=-1) * farcoef
         if per_ball:
             return u
-        return jnp.sum(u, axis=-1)
+        return u.sum(axis=-1)
 
-    y = harmonics(c, sph, n_end)  # [...x, ...first, B, H]
-    u = jnp.sum(dens * sd * y, axis=-1)  # [...x, ...first, B]
+    y = harmonics(c, sph, n_end)  # C [...x, ...first, B, H]
+    u = (dens * sd * y).sum(axis=-1)  # [...x, ...first, B]
     if not per_ball:
-        u = jnp.sum(u, axis=-1)
+        u = u.sum(axis=-1)
 
     if kind == "outer":
         invalid = jnp.any(r < radii_e, axis=-1)
@@ -106,4 +114,4 @@ def biem_u(res, x, /, far_field=False, per_ball=False, expand_x=True):
         raise ValueError(f"Invalid kind: {kind}")
     if per_ball:
         invalid = invalid[..., None]
-    return jnp.where(invalid, jnp.nan + 1j * jnp.nan, u)
+    return cplx.where(invalid, C(jnp.nan, jnp.nan), u)

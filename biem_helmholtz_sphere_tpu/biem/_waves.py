@@ -9,6 +9,8 @@ the factory's own k/direction batch shape.
 
 import jax.numpy as jnp
 
+from ..ops import cplx
+from ..ops.cplx import C
 from ..special._shn1 import shn1
 
 
@@ -25,9 +27,11 @@ def _broadcast_shapes_or_raise(name_a, a_shape, name_b, b_shape):
 def plane_wave(*, k, direction):
     r"""Plane wave u(x) = e^{i k d.x} with d = direction/|direction|.
 
-    k: [...]; direction: [c_ndim, ...].  Returns (u_in, grad_u_in).
+    k: [...] (real array or C); direction: [c_ndim, ...].
+    Returns (u_in, grad_u_in); both produce real-pair complex C values.
     """
-    k = jnp.asarray(k)
+    if not isinstance(k, C):
+        k = jnp.asarray(k)
     direction = jnp.asarray(direction)
     _broadcast_shapes_or_raise("k", k.shape, "direction[1:]", direction.shape[1:])
     if direction.ndim != k.ndim + 1:
@@ -37,16 +41,24 @@ def plane_wave(*, k, direction):
     def _dir(x):
         return direction[(slice(None),) + (None,) * (x.ndim - direction.ndim) + (...,)]
 
+    k_c = isinstance(k, C)
+
+    def _phase(ip):
+        if k_c:
+            return cplx.exp(k * ip * 1j)
+        return cplx.expi(k * ip)
+
     def uin(x, /):
         x = jnp.asarray(x)
         ip = jnp.sum(_dir(x) * x, axis=0)
-        return jnp.exp(1j * k * ip)
+        return _phase(ip)
 
     def uin_grad(x, /):
         x = jnp.asarray(x)
         dd = _dir(x)
         ip = jnp.sum(dd * x, axis=0)
-        return 1j * k * dd * jnp.exp(1j * k * ip)[None, ...]
+        # (i k) stays in real-pair form: C * real * 1j
+        return _phase(ip)[None, ...] * dd * k * 1j
 
     return uin, uin_grad
 
@@ -54,9 +66,10 @@ def plane_wave(*, k, direction):
 def point_source(*, k, source, n=0):
     r"""Point source u(x) = h^{(1)}_n(k |x - source|) in d dimensions.
 
-    k: [...]; source: [c_ndim, ...].  Returns (u_in, grad_u_in).
+    k: [...]; source: [c_ndim, ...].  Returns (u_in, grad_u_in) -> C.
     """
-    k = jnp.asarray(k)
+    if not isinstance(k, C):
+        k = jnp.asarray(k)
     source = jnp.asarray(source)
     _broadcast_shapes_or_raise("k", k.shape, "source[1:]", source.shape[1:])
     if source.ndim != k.ndim + 1:
@@ -76,7 +89,7 @@ def point_source(*, k, source, n=0):
         xr = _rel(x)
         d = int(xr.shape[0])
         r = jnp.linalg.norm(xr, axis=0)
-        coeff = k * shn1(n, d, k * r, derivative=True) / r
+        coeff = shn1(n, d, k * r, derivative=True) * k / r
         return coeff[None, ...] * xr
 
     return uin, uin_grad

@@ -22,6 +22,7 @@ S^{d-1} and spans exactly the degree-n harmonic subspaces.
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import cplx
 from ..special._jacobi import orthonormal_jacobi_table
 from ._index import basis
 
@@ -41,8 +42,7 @@ def _node_table(node, jobs, spherical):
     ang = jnp.asarray(spherical[node.nid])
     if node.kind == "a":
         ms = np.array([p[0] for p in jobs])
-        val = jnp.exp(1j * ang[..., None] * ms) / np.sqrt(2.0 * np.pi)
-        return val
+        return cplx.expi(ang[..., None] * ms) * (1.0 / np.sqrt(2.0 * np.pi))
     if node.kind in ("b", "bp"):
         s = node.children[0].sdim
         ncs = sorted({p[0] for p in jobs})
@@ -94,5 +94,10 @@ def harmonics(c, spherical, n_end):
     for node in c.nodes:
         tab = _node_table(node, b.node_jobs[node.nid], spherical)
         v = tab[..., b.node_job_index[node.nid]]
-        out = v if out is None else out * v
-    return out
+        if out is None:
+            out = v
+        elif isinstance(v, cplx.C) and not isinstance(out, cplx.C):
+            out = v * out
+        else:
+            out = out * v
+    return cplx.C.of(out)

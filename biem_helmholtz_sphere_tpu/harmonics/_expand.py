@@ -10,6 +10,8 @@ from functools import lru_cache
 
 import jax.numpy as jnp
 
+from ..ops import cplx
+from ..ops.cplx import C
 from ._eval import harmonics
 from ._quad import sphere_quadrature
 
@@ -31,7 +33,7 @@ def _quad_harmonics_impl(c, n_end, deg, _x64):
         sph, w = sphere_quadrature(c, deg)
         sph_j = {k: jnp.asarray(v) for k, v in sph.items()}
         y = harmonics(c, sph_j, n_end)
-        wy = jnp.conj(y) * jnp.asarray(w)[:, None]
+        wy = y.conj() * jnp.asarray(w)[:, None]
     return sph, wy
 
 
@@ -48,5 +50,5 @@ def expand(c, f, n_end, deg=None):
     if deg is None:
         deg = 2 * (n_end - 1) + 1
     sph, wy = _quad_harmonics(c, n_end, deg)
-    fx = jnp.asarray(f(sph))
-    return jnp.einsum("q...,qh->...h", fx, wy)
+    fx = C.of(f(sph))
+    return cplx.einsum("q...,qh->...h", fx, wy)

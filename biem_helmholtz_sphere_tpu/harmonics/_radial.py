@@ -6,6 +6,7 @@ Rebuild of `ultrasphere_harmonics.harmonics_regular_singular_component`
 
 import jax.numpy as jnp
 
+from ..ops import cplx
 from ..special._family import spherical_jh_all
 from ._index import basis
 
@@ -17,7 +18,7 @@ def regular_singular_component(c, r, n_end, k, type="regular", derivative=False)
     r and k broadcast together; the harmonic axis is appended last.
     """
     b = basis(c, n_end)
-    z = jnp.asarray(k) * jnp.asarray(r)
+    z = cplx.C.of(k) * jnp.asarray(r) if isinstance(k, cplx.C) else jnp.asarray(k) * jnp.asarray(r)
     j, jp, h, hp = spherical_jh_all(c.c_ndim, n_end, z)
     if type == "regular":
         tab = jp if derivative else j
@@ -25,4 +26,4 @@ def regular_singular_component(c, r, n_end, k, type="regular", derivative=False)
         tab = hp if derivative else h
     else:
         raise ValueError(f"invalid type {type!r}")
-    return jnp.take(tab, jnp.asarray(b.n_root), axis=-1)
+    return cplx.take(tab, jnp.asarray(b.n_root), axis=-1)

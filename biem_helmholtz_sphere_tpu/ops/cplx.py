@@ -171,6 +171,12 @@ class C:
             n >>= 1
         return out
 
+    def __matmul__(self, o):
+        return matmul(self, C.of(o))
+
+    def __rmatmul__(self, o):
+        return matmul(C.of(o), self)
+
     def conj(self):
         return C(self.re, -self.im)
 
@@ -221,6 +227,20 @@ def exp(z):
         return C.of(jnp.exp(jnp.asarray(z)))
     m = jnp.exp(z.re)
     return C(m * jnp.cos(z.im), m * jnp.sin(z.im))
+
+
+def sin(z):
+    """sin z for C (or real) z."""
+    if not isinstance(z, C):
+        return C.of(jnp.sin(jnp.asarray(z)))
+    return C(jnp.sin(z.re) * jnp.cosh(z.im), jnp.cos(z.re) * jnp.sinh(z.im))
+
+
+def cos(z):
+    """cos z for C (or real) z."""
+    if not isinstance(z, C):
+        return C.of(jnp.cos(jnp.asarray(z)))
+    return C(jnp.cos(z.re) * jnp.cosh(z.im), -jnp.sin(z.re) * jnp.sinh(z.im))
 
 
 def ipow(n):
@@ -342,6 +362,13 @@ def solve(a, b):
     rhs = jnp.concatenate([b.re, b.im], axis=-1)  # [..., 2N]
     x = jnp.linalg.solve(m, rhs[..., None])[..., 0]
     return C(x[..., :n], x[..., n:])
+
+
+def to_numpy(x):
+    """C -> numpy complex; anything else -> np.asarray (host)."""
+    if isinstance(x, C):
+        return x.to_numpy()
+    return np.asarray(x)
 
 
 def asarray_if_c(z):

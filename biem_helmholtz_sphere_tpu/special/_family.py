@@ -18,9 +18,10 @@ Order recurrence: f_{n-1} + f_{n+1} = c_n f_n with c_n = (2n + base - 2)/z.
 j_n is computed by upward recurrence from exact seeds in the oscillatory
 regime n <= |z| and by a normalized downward (Miller) recurrence with
 log-scale overflow protection in the evanescent regime n > |z|; h_n by
-upward recurrence (always stable).  This replaces the reference's
-scipy.special C/Fortran kernels (SURVEY.md section 2.4 item 2) with a pure
-JAX implementation that jits and vmaps on TPU.
+upward recurrence (always stable).  All arithmetic is over the real-pair
+complex type (ops/cplx.py) so it runs on complex-free TPU backends.
+Replaces the reference's scipy.special C/Fortran kernels (SURVEY.md
+section 2.4 item 2).
 """
 
 from functools import partial
@@ -30,6 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.special import gamma as _sp_gamma
 
+from ..ops import cplx
+from ..ops.cplx import C
 from ._cyl import cyl_jh01
 
 _MILLER_BUFFER = 36
@@ -38,148 +41,145 @@ _SQRT_PI_2 = float(np.sqrt(np.pi / 2.0))
 
 def _rescale_for(dtype):
     """Log-scaling threshold: must be representable in the real dtype."""
-    return 1e150 if jnp.finfo(dtype).bits >= 128 else 1e30
-
-
-def _as_complex(z):
-    """Promote to complex, keeping width (f32->c64, f64->c128, int->default)."""
-    z = jnp.asarray(z)
-    if jnp.issubdtype(z.dtype, jnp.complexfloating):
-        return z
-    return z * (1.0 + 0.0j)  # weak-typed promotion respects x64 setting
+    return 1e150 if jnp.finfo(dtype).bits >= 64 else 1e30
 
 
 def _seeds(base, z):
-    """(j0, j1, h0, h1) of the base family at complex z."""
+    """(j0, j1, h0, h1) of the base family at C z."""
     if base == 2:
         j0, j1, h0, h1 = cyl_jh01(z)
-        return (_SQRT_PI_2 * j0, _SQRT_PI_2 * j1, _SQRT_PI_2 * h0, _SQRT_PI_2 * h1)
+        return (j0 * _SQRT_PI_2, j1 * _SQRT_PI_2, h0 * _SQRT_PI_2, h1 * _SQRT_PI_2)
     # base == 3: closed trigonometric forms
-    sin, cos, eiz = jnp.sin(z), jnp.cos(z), jnp.exp(1j * z)
-    small = jnp.abs(z) < 1e-4
-    zs = jnp.where(small, jnp.ones_like(z), z)
+    sin, cos = cplx.sin(z), cplx.cos(z)
+    eiz = cplx.exp(z * 1j)
+    small = abs(z) < 1e-4
+    zs = cplx.where(small, C.of(1.0), z)
     z2 = zs * zs
-    j0 = jnp.where(small, 1.0 - z2 / 6.0 * (1.0 - z2 / 20.0), sin / zs)
-    j1 = jnp.where(
+    j0 = cplx.where(small, 1.0 - z2 / 6.0 * (1.0 - z2 / 20.0), sin / zs)
+    j1 = cplx.where(
         small, z / 3.0 * (1.0 - z2 / 10.0 * (1.0 - z2 / 28.0)), sin / z2 - cos / zs
     )
-    h0 = -1j * eiz / zs
+    h0 = eiz * (-1j) / zs
     h1 = -eiz * (zs + 1j) / z2
     return j0, j1, h0, h1
 
 
+def _stack_orders(head, rest):
+    """Concat list of leading C values with scan output C [..., n]."""
+    return cplx.concatenate(
+        [cplx.stack(head, axis=-1), cplx.moveaxis(rest, 0, -1)], axis=-1
+    )
+
+
 def _upward(base, n_top, f0, f1, z):
-    """Upward recurrence f_{n+1} = c_n f_n - f_{n-1}; returns [..., n_top+1]."""
+    """Upward recurrence f_{n+1} = c_n f_n - f_{n-1}; returns C [..., n_top+1]."""
     inv = 1.0 / z
+    if n_top == 0:
+        return cplx.stack([f0], axis=-1)
+    if n_top == 1:
+        return cplx.stack([f0, f1], axis=-1)
 
     def step(carry, n):
         fm, fn = carry
-        fp = (2.0 * n + base - 2.0) * inv * fn - fm
+        fp = fn * inv * (2.0 * n + base - 2.0) - fm
         return (fn, fp), fp
 
-    ns = jnp.arange(1, n_top, dtype=z.real.dtype)
-    if n_top <= 1:
-        return jnp.stack([f0, f1][: n_top + 1], axis=-1)
+    ns = jnp.arange(1, n_top, dtype=z.re.dtype)
     (_, _), rest = jax.lax.scan(step, (f0, f1), ns)
-    # rest: [n_top-1, ...] -> [..., n_top-1]
-    rest = jnp.moveaxis(rest, 0, -1)
-    return jnp.concatenate([f0[..., None], f1[..., None], rest], axis=-1)
+    return _stack_orders([f0, f1], rest)
 
 
 def _miller_down(base, n_max, z):
     """Downward (Miller) recurrence, unnormalized, with log-scaling.
 
-    Returns (a, sig): unnormalized f_n = a[..., n] * exp(sig[..., n]),
-    n = 0..n_max, where sig is the cumulative log rescale (sig_n >= sig_m
-    for n <= m).
+    Returns (a: C [..., n_max+1], sig [..., n_max+1]): unnormalized
+    f_n = a[..., n] * exp(sig[..., n]).
     """
     n_start = n_max + _MILLER_BUFFER
     inv = 1.0 / z
-    rescale = _rescale_for(z.dtype)
+    rescale = _rescale_for(z.re.dtype)
     log_rescale = float(np.log(rescale))
 
     def step(carry, n):
         fn1, fn, sig = carry  # f_{n+1}, f_n at scale exp(sig)
-        fm = (2.0 * n + base - 2.0) * inv * fn - fn1  # f_{n-1}
-        too_big = jnp.abs(fm) > rescale
+        fm = fn * inv * (2.0 * n + base - 2.0) - fn1  # f_{n-1}
+        too_big = abs(fm) > rescale
         scale = jnp.where(too_big, 1.0 / rescale, 1.0)
         fm2 = fm * scale
         fn2 = fn * scale
         sig2 = sig + jnp.where(too_big, log_rescale, 0.0)
         return (fn2, fm2, sig2), (fm2, sig2)
 
-    zero = jnp.zeros_like(z)
-    one = jnp.ones_like(z)
-    sig0 = jnp.zeros_like(z.real)
-    ns = jnp.arange(n_start, 0, -1, dtype=z.real.dtype)
+    zero = C.of(jnp.zeros_like(z.re))
+    one = C.of(jnp.ones_like(z.re))
+    sig0 = jnp.zeros_like(z.re)
+    ns = jnp.arange(n_start, 0, -1, dtype=z.re.dtype)
     (_, _, _), (fs, sigs) = jax.lax.scan(step, (zero, one, sig0), ns)
-    # fs[i] corresponds to f_{n_start - 1 - i}; keep n = 0..n_max
-    fs = jnp.moveaxis(fs, 0, -1)[..., ::-1]  # [..., n_start] for n = 0..n_start-1
+    fs = cplx.moveaxis(fs, 0, -1)[..., ::-1]
     sigs = jnp.moveaxis(sigs, 0, -1)[..., ::-1]
     return fs[..., : n_max + 1], sigs[..., : n_max + 1]
 
 
 @partial(jax.jit, static_argnums=(0, 1))
 def family_jh(base, n_max, z):
-    """j_n, h_n of the base family for n = 0..n_max at complex z [...].
+    """j_n, h_n of the base family for n = 0..n_max at z (real or C).
 
-    Returns (j, h) with shape [..., n_max + 1].
+    Returns (j, h): C with shape [..., n_max + 1].
     """
-    z = _as_complex(z)
+    z = C.of(z)
     j0, j1, h0, h1 = _seeds(base, z)
     h = _upward(base, n_max, h0, h1, z)
     j_up = _upward(base, n_max, j0, j1, z)
 
     a, sig = _miller_down(base, n_max, z)
     # Normalize via the Wronskian j_1 h_0 - j_0 h_1 = i / z^{base-1}.
-    w_target = 1j * z ** (1.0 - base)
+    w_target = (1.0 / z ** (base - 1)) * 1j
     e10 = jnp.exp(sig[..., 1] - sig[..., 0])
     denom = a[..., 1] * e10 * h0 - a[..., 0] * h1
     s = w_target / denom
     j_down = s[..., None] * a * jnp.exp(sig - sig[..., :1])
 
-    n_arr = jnp.arange(n_max + 1, dtype=z.real.dtype)
-    use_up = n_arr <= jnp.abs(z)[..., None]
-    j = jnp.where(use_up, j_up, j_down)
+    n_arr = jnp.arange(n_max + 1, dtype=z.re.dtype)
+    use_up = n_arr <= abs(z)[..., None]
+    j = cplx.where(use_up, j_up, j_down)
     return j, h
 
 
 def _shift_deriv(base, m, f, z, inv_zm):
-    """Derivative of z^{-m} f_{n+m} given base-family f table [..., n_top+1].
+    """Derivative of z^{-m} f_{n+m} given base-family table f: C [..., n_top+1].
 
     f'_n(base) = f_{n-1} - ((n + base - 2)/z) f_n,  f'_0 = -f_1.
     d/dz [z^{-m} f_{n+m}] = z^{-m} (f'_{n+m} - (m/z) f_{n+m}).
     """
-    n_top = f.shape[-1] - 1
-    n_arr = jnp.arange(n_top + 1, dtype=z.real.dtype)
-    fm1 = jnp.concatenate([f[..., 1:2], f[..., :-1]], axis=-1)  # placeholder at n=0
-    fp = fm1 - (n_arr + base - 2.0) / z[..., None] * f
-    # n = 0: f'_0 = -f_1 exactly, for both base families (J_0' = -J_1; j_0' = -j_1)
-    fp = jnp.concatenate([-f[..., 1:2], fp[..., 1:]], axis=-1)
+    n_top_p1 = f.shape[-1]
+    n_arr = jnp.arange(n_top_p1, dtype=z.re.dtype)
+    fm1 = cplx.concatenate([f[..., 1:2], f[..., :-1]], axis=-1)
+    fp = fm1 - f * ((1.0 / z)[..., None] * (n_arr + base - 2.0))
+    # n = 0: f'_0 = -f_1 exactly, for both base families
+    fp = cplx.concatenate([-f[..., 1:2], fp[..., 1:]], axis=-1)
     if m == 0:
-        return (inv_zm[..., None] * fp)[..., : n_top + 1]
-    g = inv_zm[..., None] * (fp - (m / z)[..., None] * f)
-    return g
+        return fp
+    return inv_zm[..., None] * (fp - f * ((1.0 / z) * m)[..., None])
 
 
 @partial(jax.jit, static_argnums=(0, 1))
 def spherical_jh_all(d, n_end, z):
-    """j_n^{(d)}, j_n', h_n^{(d)}, h_n' for n = 0..n_end-1 at z [...].
+    """j_n^{(d)}, j_n', h_n^{(d)}, h_n' for n = 0..n_end-1 at z (real or C).
 
-    Returns (j, jp, h, hp), each of shape [..., n_end].  This is the engine
-    behind the reference's `ultrasphere.shn1` and `potential_coef` radial
-    factors (reference: _biem.py:440-447, 654-685).
+    Returns (j, jp, h, hp): C, each of shape [..., n_end].  Engine behind
+    the reference's `ultrasphere.shn1` and `potential_coef` radial factors
+    (reference: _biem.py:440-447, 654-685).
     """
     if d < 2:
         raise ValueError(f"dimension must be >= 2, got {d}")
     base = 2 if d % 2 == 0 else 3
     m = (d - base) // 2
-    z = _as_complex(z)
-    at_zero = z == 0
-    zs = jnp.where(at_zero, jnp.ones_like(z), z)
+    z = C.of(z)
+    at_zero = (z.re == 0) & (z.im == 0)
+    zs = cplx.where(at_zero, C.of(jnp.ones_like(z.re)), z)
     n_top = n_end - 1 + m
     jf, hf = family_jh(base, n_top, zs)
-    inv_zm = zs ** (-float(m)) if m > 0 else jnp.ones_like(zs)
+    inv_zm = zs ** (-m) if m > 0 else C.of(jnp.ones_like(zs.re))
     jp_full = _shift_deriv(base, m, jf, zs, inv_zm)
     hp_full = _shift_deriv(base, m, hf, zs, inv_zm)
     j = inv_zm[..., None] * jf[..., m : m + n_end]
@@ -192,8 +192,8 @@ def spherical_jh_all(d, n_end, z):
     c_d = float(np.sqrt(np.pi / 2.0) * 2.0 ** (-nu) / _sp_gamma(nu + 1.0))
     n_arr = jnp.arange(n_end)
     z0 = at_zero[..., None]
-    j = jnp.where(z0, jnp.where(n_arr == 0, c_d, 0.0), j)
-    jp = jnp.where(z0, jnp.where(n_arr == 1, c_d / d, 0.0), jp)
-    h = jnp.where(z0, jnp.inf, h)
-    hp = jnp.where(z0, jnp.inf, hp)
+    j = cplx.where(z0, C.of(jnp.where(n_arr == 0, c_d, 0.0)), j)
+    jp = cplx.where(z0, C.of(jnp.where(n_arr == 1, c_d / d, 0.0)), jp)
+    h = cplx.where(z0, C(jnp.inf, jnp.inf), h)
+    hp = cplx.where(z0, C(jnp.inf, jnp.inf), hp)
     return j, jp, h, hp

@@ -16,33 +16,26 @@ A_d = 2^{(d+1)/2} pi^{(d-1)/2}:
 
     (R|R)[h',h](t) = i^{n'-n} sum_q w_q e^{i k t.s_q} conj(Y_{h'}(s_q)) Y_h(s_q)
 
-which is exact (the integrand is a product of harmonics of total degree
-<= n + n' + deg(e^{ikt.s} truncation); with the plane wave the kernel is
-bounded, |F| = 1, so the sum is also numerically benign).  The singular
-analogue replaces the plane wave with the band sum
+(bounded kernel: numerically benign).  The singular analogue replaces the
+plane wave with the band sum F_t(s) = sum_{n''} A_d i^{n''}
+h^{(1)}_{n''}(k|t|) Z_{n''}(t^.s) (Z_n the degree-n zonal kernel).  The
+bands must NOT be summed before quadrature: |h_{n''}(kt)| grows
+super-exponentially in n'' while the entry (h', h) only has Gaunt support
+for n'' <= n + n', so premixed kernels destroy low modes by roundoff
+~ eps * |h_{2n}(kt)| (and overflow float32 outright).  Stable paths:
 
-    F_t(s) = sum_{n''} A_d i^{n''} h^{(1)}_{n''}(k|t|) Z_{n''}(t^.s)
-
-(Z_n the zonal kernel of degree n).  Crucially the bands must NOT be
-summed before quadrature: |h_{n''}(kt)| grows super-exponentially in n'',
-and the entry (h', h) only has Gaunt support for n'' <= n + n', so low
-modes would be destroyed by roundoff ~ eps * |h_{n+n'<max}| (and the
-kernel overflows float32 outright).  Stable evaluation used here:
-
-  *  d = 2: Graf's addition theorem in closed form,
-         (S|R)[m',m](t) = H^{(1)}_{m-m'}(k|t|) e^{i(m-m') theta_t}
-     (exact, O(H^2), no quadrature at all).
-  *  d >= 3: masked band accumulation — scan over n'', each step one
+  *  d = 2: Graf's addition theorem in closed form (exact, O(H^2)):
+         M[m',m] = i^{|m'|-|m|+|m-m'|} C_{|m-m'|}(k|t|) e^{i(m-m') theta_t}
+  *  d >= 3: masked band accumulation -- scan over n'', each step one
      batched [H,Q]x[Q,H] contraction with the single-band kernel
-     A_d i^{n''} h_{n''}(kt) Z_{n''}(t^.s) (zonal values by a Gegenbauer
-     three-term recurrence carried through the scan), accumulated only
-     into entries with n + n' >= n''.  Each entry then only ever meets
-     bands at or below its own magnitude scale: relative error ~ eps.
+     (zonal values by a Gegenbauer three-term recurrence carried through
+     the scan), accumulated only into entries with n + n' >= n''.  Each
+     entry only ever meets bands at or below its own magnitude scale.
 
-Method names keep API parity with the reference: "triplet", "gumerov",
-"plane_wave", None (reference constraint preserved: "plane_wave" only
-for same-type (R|R)).  All methods here produce exact coefficients;
-they differ only in algorithm.
+All arithmetic is over the real-pair complex type (ops/cplx.py): the
+contractions are Karatsuba 3x-real-einsum MXU work.  Method names keep
+API parity with the reference ("triplet"/"gumerov"/"plane_wave"/None;
+"plane_wave" rejected for (S|R) exactly as in the reference).
 """
 
 from functools import lru_cache
@@ -55,6 +48,8 @@ from ..coords import from_cartesian, to_cartesian
 from ..harmonics._eval import harmonics
 from ..harmonics._index import basis
 from ..harmonics._quad import sphere_quadrature
+from ..ops import cplx
+from ..ops.cplx import C
 from ..special._family import spherical_jh_all
 
 
@@ -70,20 +65,13 @@ def _surface_area(d):
 
 def _quad_tables(c, n_out, n_in):
     """Static quadrature tables (dtype follows the active x64 mode)."""
-    import jax
-
     return _quad_tables_impl(c, n_out, n_in, jax.config.jax_enable_x64)
 
 
 @lru_cache(maxsize=32)
 def _quad_tables_impl(c, n_out, n_in, _x64):
-    """Static quadrature tables for the (n_out, n_in) operator.
-
-    Returns (w [Q], Yo_conj [Q, Ho], Yi [Q, Hi], s_cart [d, Q],
-    phase [Ho, Hi], n_o [Ho], n_i [Hi]).
-    """
-    import jax
-
+    """(w [Q], Yo_conj C [Q,Ho], Yi C [Q,Hi], s_cart [d,Q], phase C [Ho,Hi],
+    n_o [Ho], n_i [Hi])."""
     deg = 2 * ((n_out - 1) + (n_in - 1))
     with jax.ensure_compile_time_eval():
         sph, w = sphere_quadrature(c, deg)
@@ -93,15 +81,13 @@ def _quad_tables_impl(c, n_out, n_in, _x64):
         s_cart = to_cartesian(c, sph_j, include_r=False)
         bo = basis(c, n_out)
         bi = basis(c, n_in)
-        phase = 1j ** (
-            bo.n_root[:, None].astype(np.int64) - bi.n_root[None, :].astype(np.int64)
-        )
+        phase = cplx.ipow(bo.n_root[:, None].astype(np.int64) - bi.n_root[None, :])
         out = (
             jnp.asarray(w),
-            jnp.conj(yo),
+            yo.conj(),
             yi,
             s_cart,
-            jnp.asarray(phase),
+            phase,
             bo.n_root,
             bi.n_root,
         )
@@ -118,14 +104,19 @@ def _a_node_m(c, n_end):
     return ms[b.node_job_index[nid]]
 
 
+def _real_dtype_of(*xs):
+    parts = []
+    for x in xs:
+        parts.append(x.re if isinstance(x, C) else x)
+    return jnp.result_type(*parts, jnp.float32)
+
+
 def _graf_2d(c, t_sph, n_out, n_in, k, kind):
     """Closed-form 2D translation via Graf's addition theorem.
 
     In our basis (Y_m = e^{i m phi}/sqrt(2 pi), degree |m|) the triplet
     formula collapses (Gaunt = delta_{m'' = m - m'} / sqrt(2 pi)) to
-
-        M[m', m] = i^{|m'| - |m| + |m - m'|} C_{|m-m'|}(k|t|) e^{i(m-m') theta_t}
-
+    M[m', m] = i^{|m'|-|m|+|m-m'|} C_{|m-m'|}(k|t|) e^{i(m-m') theta_t}
     with C = H^{(1)} for (S|R), J for (R|R).
     """
     mo = _a_node_m(c, n_out)
@@ -134,41 +125,42 @@ def _graf_2d(c, t_sph, n_out, n_in, k, kind):
     mu_max = int(np.abs(mu).max())
     r_t = t_sph["r"]
     theta = t_sph[c.root.nid]
-    z = jnp.asarray(k) * r_t
+    z = C.of(k) * r_t if isinstance(k, C) else jnp.asarray(k) * r_t
     jf, _, hf, _ = spherical_jh_all(2, mu_max + 1, z)
-    tab = hf if kind == "SR" else jf  # [..., mu_max+1], = sqrt(pi/2) * (H or J)
+    tab = hf if kind == "SR" else jf  # sqrt(pi/2) * (H or J)
     tab = tab * np.sqrt(2.0 / np.pi)  # back to standard cylinder functions
-    ipow = jnp.asarray(
-        1j ** ((np.abs(mo)[:, None] - np.abs(mi)[None, :] + np.abs(mu)) % 4),
-        dtype=tab.dtype,
-    )
-    gathered = jnp.take(tab, jnp.asarray(np.abs(mu)), axis=-1)  # [..., Ho, Hi]
-    mu_f = jnp.asarray(mu, dtype=z.real.dtype)
-    phase = jnp.exp(1j * theta[..., None, None].astype(z.real.dtype) * mu_f)
-    return gathered * ipow * phase.astype(tab.dtype)
+    ipow = cplx.ipow(np.abs(mo)[:, None] - np.abs(mi)[None, :] + np.abs(mu))
+    gathered = cplx.take(tab, jnp.asarray(np.abs(mu)), axis=-1)  # [..., Ho, Hi]
+    phase = cplx.expi(theta[..., None, None] * jnp.asarray(mu, dtype=theta.dtype))
+    return gathered * ipow * phase
+
+
+def _diag_contract(band, yoc, yi):
+    """einsum('...q,qa,qb->...ab', band, conj(Yo), Yi) for C operands:
+    scale conj(Yo) columns by the kernel, then one Karatsuba contraction."""
+    scaled = yoc[None, ...] * band[..., None]  # C [..., Q, Ho]
+    return cplx.einsum("...qa,qb->...ab", scaled, yi)
 
 
 def _sr_banded(c, t_sph, n_out, n_in, k, kind):
     """Masked band-accumulation (S|R) (or (R|R)) for d >= 3."""
     d = c.c_ndim
     w, yoc, yi, s_cart, phase, n_o, n_i = _quad_tables(c, n_out, n_in)
-    k = jnp.asarray(k)
     r_t = t_sph["r"]
-    cdt = jnp.result_type(k.dtype, r_t.dtype, jnp.complex64)
-    rdt = jnp.finfo(cdt).dtype
+    rdt = _real_dtype_of(k, r_t)
     w = w.astype(rdt)
-    yoc = yoc.astype(cdt)
-    yi = yi.astype(cdt)
-    phase = phase.astype(cdt)
-    s_cart = s_cart.astype(rdt)
+    yoc = yoc.astype(rdt)
+    yi = yi.astype(rdt)
     t_hat = to_cartesian(c, {**t_sph, "r": jnp.ones_like(r_t)})
     # cos(gamma) between t^ and each quadrature direction: [..., Q]
-    x = jnp.tensordot(jnp.moveaxis(t_hat, 0, -1).astype(rdt), s_cart, axes=(-1, 0))
+    x = jnp.tensordot(
+        jnp.moveaxis(t_hat, 0, -1).astype(rdt), s_cart.astype(rdt), axes=(-1, 0)
+    )
 
     n_bands = (n_out - 1) + (n_in - 1) + 1
-    z = k * r_t
+    z = C.of(k) * r_t if isinstance(k, C) else jnp.asarray(k) * r_t
     jf, _, hf, _ = spherical_jh_all(d, n_bands, z)
-    rad = hf if kind == "SR" else jf  # [..., n_bands]
+    rad = hf if kind == "SR" else jf  # C [..., n_bands]
 
     nu = 0.5 * (d - 2.0)
     a_d = _a_const(d)
@@ -177,22 +169,16 @@ def _sr_banded(c, t_sph, n_out, n_in, k, kind):
 
     ho, hi = yoc.shape[-1], yi.shape[-1]
     batch = jnp.broadcast_shapes(x.shape[:-1], rad.shape[:-1])
-    m0 = jnp.zeros(batch + (ho, hi), dtype=yi.dtype)
+    m0 = C.zeros(batch + (ho, hi), dtype=rdt)
 
     def step(carry, n2):
         c_prev, c_cur, m = carry
         # zonal kernel Z_{n''} = (2n''+d-2)/(d-2) * C^{nu}_{n''}(x) / omega
         zonal = (2.0 * n2 + d - 2.0) / (d - 2.0) / omega * c_cur
-        rad_n2 = jnp.take(rad, n2.astype(jnp.int32), axis=-1)  # [...]
-        band = (
-            a_d
-            * jnp.exp(1j * (np.pi / 2.0) * n2).astype(rad_n2.dtype)
-            * rad_n2[..., None]
-            * zonal
-            * w
-        )
-        t_mat = jnp.einsum("...q,qa,qb->...ab", band, yoc, yi)
-        m = m + jnp.where(nsum >= n2, t_mat, 0.0)
+        rad_n2 = cplx.take(rad, n2.astype(jnp.int32), axis=-1)  # C [...]
+        band = cplx.expi((np.pi / 2.0) * n2) * a_d * rad_n2[..., None] * (zonal * w)
+        t_mat = _diag_contract(band, yoc, yi)
+        m = m + cplx.where(nsum >= n2, t_mat, C.of(0.0))
         # Gegenbauer recurrence: (n+1) C_{n+1} = 2(n+nu) x C_n - (n+2nu-1) C_{n-1}
         c_next = (2.0 * (n2 + nu) * x * c_cur - (n2 + 2.0 * nu - 1.0) * c_prev) / (
             n2 + 1.0
@@ -207,21 +193,20 @@ def _sr_banded(c, t_sph, n_out, n_in, k, kind):
 
 
 def translation_matrix(c, t, n_end, k, kind="SR", n_end_add=None, method=None):
-    """Translation operator matrix [..., H_out, H_in] for offsets t.
+    """Translation operator matrix C [..., H_out, H_in] for offsets t.
 
     Parameters
     ----------
     c : SphericalCoordinates
     t : cartesian offsets [d, ...] or a spherical mapping (from_cartesian)
     n_end : output (re-expansion) degree cutoff -> H_out harmonics
-    k : wavenumber, broadcastable to t's batch shape [...]
-    kind : "SR" (singular-around-regular; the inter-sphere coupling of the
-        BIEM) or "RR" (regular-regular)
+    k : wavenumber (real array or C), broadcastable to t's batch shape
+    kind : "SR" (singular-around-regular; the BIEM inter-sphere coupling)
+        or "RR"
     n_end_add : input degree cutoff (default n_end) -> H_in harmonics
-    method : None | "triplet" | "plane_wave" | "gumerov".  API parity with
-        the reference (_biem.py:569-574); "plane_wave" is rejected for
-        kind="SR" exactly as in the reference.  All methods are exact here,
-        so the names select the same stable algorithm.
+    method : None | "triplet" | "plane_wave" | "gumerov" (API parity with
+        reference _biem.py:569-574; all exact here). "plane_wave" is only
+        valid for kind="RR".
 
     Convention: S_h(y + t) = sum_{h'} M[..., h', h] R_{h'}(y).
     """
@@ -242,7 +227,8 @@ def translation_matrix(c, t, n_end, k, kind="SR", n_end_add=None, method=None):
     else:
         t_cart = jnp.asarray(t)
         t_sph = from_cartesian(c, t_cart)
-    k = jnp.asarray(k)
+    if not isinstance(k, C):
+        k = jnp.asarray(k)
 
     if c.c_ndim == 2:
         return _graf_2d(c, t_sph, n_end, n_in, k, kind)
@@ -252,14 +238,12 @@ def translation_matrix(c, t, n_end, k, kind="SR", n_end_add=None, method=None):
         w, yoc, yi, s_cart, phase, _, _ = _quad_tables(c, n_end, n_in)
         if t_cart is None:
             t_cart = to_cartesian(c, t_sph)
-        cdt = jnp.result_type(k.dtype, t_cart.dtype, jnp.complex64)
-        rdt = jnp.finfo(cdt).dtype
+        rdt = _real_dtype_of(k, t_cart)
         ts = jnp.tensordot(
             jnp.moveaxis(t_cart, 0, -1).astype(rdt), s_cart.astype(rdt), axes=(-1, 0)
         )
-        f = jnp.exp(1j * k[..., None].astype(rdt) * ts) * w.astype(rdt)
-        return jnp.einsum(
-            "...q,qa,qb->...ab", f, yoc.astype(cdt), yi.astype(cdt)
-        ) * phase.astype(cdt)
+        kk = k if isinstance(k, C) else C.of(k)
+        f = cplx.exp(kk[..., None] * ts * 1j) * w.astype(rdt)
+        return _diag_contract(f, yoc.astype(rdt), yi.astype(rdt)) * phase
 
     return _sr_banded(c, t_sph, n_end, n_in, k, kind)

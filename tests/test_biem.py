@@ -9,6 +9,8 @@ jit/vmap behavior.
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from biem_helmholtz_sphere_tpu.ops.cplx import to_numpy as tonp
 import pytest
 
 from biem_helmholtz_sphere_tpu import (
@@ -41,7 +43,7 @@ def _two_sphere_problem(btype, n_end, k=1.0, alpha=1.0, beta=0.0, eta=1.0, **kw)
     centers[1, 1] = -2.0
     direction = np.zeros(d)
     direction[0] = 1.0
-    k = np.asarray(k)
+    k = tonp(k)
     uin, uin_grad = plane_wave(k=k, direction=jnp.asarray(direction))
     return c, biem(
         c,
@@ -52,8 +54,8 @@ def _two_sphere_problem(btype, n_end, k=1.0, alpha=1.0, beta=0.0, eta=1.0, **kw)
         alpha=alpha,
         beta=beta,
         uin=uin,
-        uin_grad=uin_grad if (np.asarray(beta) != 0).any() else None,
-        eta=np.asarray(eta),
+        uin_grad=uin_grad if (tonp(beta) != 0).any() else None,
+        eta=tonp(eta),
         **kw,
     )
 
@@ -61,7 +63,7 @@ def _two_sphere_problem(btype, n_end, k=1.0, alpha=1.0, beta=0.0, eta=1.0, **kw)
 @pytest.mark.parametrize("btype,n_end,ref,tol", GOLDEN)
 def test_golden_values(btype, n_end, ref, tol):
     c, calc = _two_sphere_problem(btype, n_end)
-    u0 = complex(np.asarray(calc.uscat(jnp.zeros((c.c_ndim, 1)))).reshape(-1)[0])
+    u0 = complex(tonp(calc.uscat(jnp.zeros((c.c_ndim, 1)))).reshape(-1)[0])
     assert abs(u0 - ref) < tol, f"{btype}: {u0} vs {ref}"
 
 
@@ -70,7 +72,7 @@ def test_convergence_in_n_end():
     for n_end in (4, 6, 8):
         c, calc = _two_sphere_problem("ba", n_end)
         vals.append(
-            complex(np.asarray(calc.uscat(jnp.zeros((3, 1)))).reshape(-1)[0])
+            complex(tonp(calc.uscat(jnp.zeros((3, 1)))).reshape(-1)[0])
         )
     ref = -0.741332 - 0.669660j  # jascome_output_3d.csv converged
     errs = [abs(v - ref) for v in vals]
@@ -85,16 +87,16 @@ def test_boundary_condition_residual():
     y = rng.normal(size=(3, 50))
     y /= np.linalg.norm(y, axis=0)
     for center in ([0.0, 2.0, 0.0], [0.0, -2.0, 0.0]):
-        xs = jnp.asarray(y + np.asarray(center)[:, None] * 1.0000001)
-        us = np.asarray(calc.uscat(xs))
-        ui = np.asarray(calc.uin(xs))
+        xs = jnp.asarray(y + tonp(center)[:, None] * 1.0000001)
+        us = tonp(calc.uscat(xs))
+        ui = tonp(calc.uin(xs))
         assert np.nanmax(np.abs(us + ui)) < 1e-6
 
 
 def test_robin_bc_and_point_source():
     # Robin (alpha=1, beta=1) with eta coupling; then a point source
     c, calc = _two_sphere_problem("ba", 10, alpha=1.0, beta=1.0)
-    u0 = complex(np.asarray(calc.uscat(jnp.zeros((3, 1)))).reshape(-1)[0])
+    u0 = complex(tonp(calc.uscat(jnp.zeros((3, 1)))).reshape(-1)[0])
     assert np.isfinite(u0.real) and np.isfinite(u0.imag)
     # BC residual: alpha (u+uin) + beta d/dn (u+uin) = 0; check via finite diff
     rng = np.random.default_rng(5)
@@ -106,20 +108,20 @@ def test_robin_bc_and_point_source():
     for shift in (1 + eps, 1 + 3 * eps):
         xs = jnp.asarray(ctr + y * shift)
         tot.append(
-            np.asarray(calc.uscat(xs)).ravel() + np.asarray(calc.uin(xs)).ravel()
+            tonp(calc.uscat(xs)).ravel() + tonp(calc.uin(xs)).ravel()
         )
     u_mid = 0.5 * (tot[0] + tot[1])
     dudn = (tot[1] - tot[0]) / (2 * eps)
     assert np.max(np.abs(u_mid + dudn)) < 1e-3
 
     # point source runs end to end
-    k = np.asarray(1.0)
+    k = tonp(1.0)
     src = jnp.asarray(np.array([5.0, 0.0, 0.0]))
     uin, uin_grad = point_source(k=k, source=src, n=0)
     c3 = create_from_branching_types("ba")
     centers = jnp.asarray(np.array([[0.0, 2.0, 0.0], [0.0, -2.0, 0.0]]))
     calc2 = biem(c3, centers=centers, radii=jnp.ones(2), k=k, n_end=6, uin=uin)
-    u = complex(np.asarray(calc2.uscat(jnp.zeros((3, 1)))).reshape(-1)[0])
+    u = complex(tonp(calc2.uscat(jnp.zeros((3, 1)))).reshape(-1)[0])
     assert np.isfinite(u.real)
 
 
@@ -129,10 +131,10 @@ def test_far_field_matches_near_field_limit():
     xhat /= np.linalg.norm(xhat)
     r = 4000.0
     u_near = complex(
-        np.asarray(calc.uscat(jnp.asarray(xhat[:, None] * r))).reshape(-1)[0]
+        tonp(calc.uscat(jnp.asarray(xhat[:, None] * r))).reshape(-1)[0]
     )
     u_inf = complex(
-        np.asarray(calc.uscat(jnp.asarray(xhat[:, None]), far_field=True)).reshape(-1)[
+        tonp(calc.uscat(jnp.asarray(xhat[:, None]), far_field=True)).reshape(-1)[
             0
         ]
     )
@@ -143,7 +145,7 @@ def test_far_field_matches_near_field_limit():
 
 def test_single_sphere_fast_path_matches_matrix():
     c = create_from_branching_types("ba")
-    k = np.asarray(1.2)
+    k = tonp(1.2)
     uin, _ = plane_wave(k=k, direction=jnp.asarray(np.array([1.0, 0.0, 0.0])))
     common = dict(
         centers=jnp.zeros((1, 3)), radii=jnp.ones(1) * 0.8, k=k, n_end=8, uin=uin
@@ -152,21 +154,21 @@ def test_single_sphere_fast_path_matches_matrix():
     full = biem(c, **common, force_matrix=True)
     assert fast.matrix is None and full.matrix is not None
     np.testing.assert_allclose(
-        np.asarray(fast.density), np.asarray(full.density), rtol=1e-9
+        tonp(fast.density), tonp(full.density), rtol=1e-9
     )
     x = jnp.asarray(np.array([[2.0], [1.0], [0.3]]))
     np.testing.assert_allclose(
-        np.asarray(fast.uscat(x)), np.asarray(full.uscat(x)), rtol=1e-9
+        tonp(fast.uscat(x)), tonp(full.uscat(x)), rtol=1e-9
     )
 
 
 def test_nan_masking_inside_spheres():
     c, calc = _two_sphere_problem("ba", 6)
     x = jnp.asarray(np.array([[0.0, 0.0], [2.0, 0.0], [0.0, 0.0]]))  # inside / outside
-    u = np.asarray(calc.uscat(x))
+    u = tonp(calc.uscat(x))
     assert np.isnan(u[0].real) and np.isfinite(u[1].real)
     # per_ball keeps the B axis and masks the whole point
-    u2 = np.asarray(calc.uscat(x, per_ball=True))
+    u2 = tonp(calc.uscat(x, per_ball=True))
     assert u2.shape[-1] == 2 and np.isnan(u2[0]).all()
 
 
@@ -194,12 +196,12 @@ def test_batched_k_sweep_and_jit():
         )
         return calc.uscat(jnp.zeros((3, 1)))
 
-    u = np.asarray(run(ks))
+    u = tonp(run(ks))
     assert u.shape == (1, 4)
-    u_jit = np.asarray(jax.jit(run)(ks))
+    u_jit = tonp(jax.jit(run)(ks))
     np.testing.assert_allclose(u, u_jit, rtol=1e-10)
     # batch entries must equal independent scalar solves
-    for i, kk in enumerate(np.asarray(ks)):
+    for i, kk in enumerate(tonp(ks)):
         uin_i, _ = plane_wave(
             k=jnp.asarray(kk), direction=jnp.asarray(np.array([1.0, 0.0, 0.0]))
         )
@@ -211,7 +213,7 @@ def test_batched_k_sweep_and_jit():
             n_end=5,
             uin=uin_i,
         )
-        u_i = np.asarray(calc_i.uscat(jnp.zeros((3, 1))))
+        u_i = tonp(calc_i.uscat(jnp.zeros((3, 1))))
         np.testing.assert_allclose(u[0, i], u_i[0], rtol=1e-9)
 
 

@@ -3,6 +3,8 @@ plane-wave identity, expansion round-trip."""
 
 import jax.numpy as jnp
 import numpy as np
+
+from biem_helmholtz_sphere_tpu.ops.cplx import to_numpy as tonp
 import pytest
 from scipy.special import gamma
 
@@ -40,7 +42,7 @@ def test_orthonormality(btype):
     n_end = 5
     b = basis(c, n_end)
     sph, w = sphere_quadrature(c, 2 * (n_end - 1))
-    y = np.asarray(harmonics(c, {k: jnp.asarray(v) for k, v in sph.items()}, n_end))
+    y = tonp(harmonics(c, {k: jnp.asarray(v) for k, v in sph.items()}, n_end))
     gram = (np.conj(y) * w[:, None]).T @ y
     np.testing.assert_allclose(gram, np.eye(b.num), atol=1e-12)
     # quadrature integrates the measure: total weight = |S^{d-1}|
@@ -56,11 +58,11 @@ def test_conjugation_and_parity(btype, rng):
     b = basis(c, n_end)
     x = rng.normal(size=(c.c_ndim, 7))
     x /= np.linalg.norm(x, axis=0)
-    y = np.asarray(harmonics(c, from_cartesian(c, x), n_end))
+    y = tonp(harmonics(c, from_cartesian(c, x), n_end))
     # conj(Y_h) = Y_{h*}
     np.testing.assert_allclose(np.conj(y), y[:, b.conj_index], atol=1e-13)
     # parity: Y_h(-x) = (-1)^n Y_h(x)
-    ym = np.asarray(harmonics(c, from_cartesian(c, -x), n_end))
+    ym = tonp(harmonics(c, from_cartesian(c, -x), n_end))
     np.testing.assert_allclose(ym, y * (-1.0) ** b.n_root, atol=1e-13)
 
 
@@ -74,7 +76,7 @@ def test_addition_theorem(btype, rng):
     b = basis(c, n_end)
     x = rng.normal(size=(d, 1))
     x /= np.linalg.norm(x)
-    y = np.asarray(harmonics(c, from_cartesian(c, x), n_end))[0]
+    y = tonp(harmonics(c, from_cartesian(c, x), n_end))[0]
     area = 2 * np.pi ** (d / 2) / gamma(d / 2)
     for n in range(n_end):
         sel = b.n_root == n
@@ -96,9 +98,9 @@ def test_plane_wave_identity(btype, rng):
     yv = rng.normal(size=(d, 1))
     yv /= np.linalg.norm(yv)
     k = 2.0
-    yx = np.asarray(harmonics(c, from_cartesian(c, xv), n_end))[0]
-    yy = np.asarray(harmonics(c, from_cartesian(c, yv), n_end))[0]
-    j = np.asarray(spherical_jh_all(d, n_end, np.array(k * 1.5))[0])
+    yx = tonp(harmonics(c, from_cartesian(c, xv), n_end))[0]
+    yy = tonp(harmonics(c, from_cartesian(c, yv), n_end))[0]
+    j = tonp(spherical_jh_all(d, n_end, np.array(k * 1.5))[0])
     a_d = 2 ** ((d + 1) / 2) * np.pi ** ((d - 1) / 2)
     val = a_d * np.sum(1j**b.n_root * j[b.n_root] * yx * np.conj(yy))
     ref = np.exp(1j * k * float(xv.T @ yv))
@@ -117,7 +119,7 @@ def test_expand_round_trip(btype, rng):
         y = harmonics(c, {k: jnp.asarray(v) for k, v in sph.items()}, n_end)
         return y @ jnp.asarray(coef)
 
-    got = np.asarray(expand(c, f, n_end))
+    got = tonp(expand(c, f, n_end))
     np.testing.assert_allclose(got, coef, atol=1e-12)
 
 
@@ -137,11 +139,11 @@ def test_regular_singular_component():
     n_end = 5
     b = basis(c, n_end)
     k, r = 1.3, 2.0
-    reg = np.asarray(regular_singular_component(c, r, n_end, k))
-    j = np.asarray(spherical_jh_all(3, n_end, np.array(k * r))[0])
+    reg = tonp(regular_singular_component(c, r, n_end, k))
+    j = tonp(spherical_jh_all(3, n_end, np.array(k * r))[0])
     np.testing.assert_allclose(reg, j[b.n_root], rtol=1e-12)
-    sing_d = np.asarray(
+    sing_d = tonp(
         regular_singular_component(c, r, n_end, k, type="singular", derivative=True)
     )
-    hp = np.asarray(spherical_jh_all(3, n_end, np.array(k * r))[3])
+    hp = tonp(spherical_jh_all(3, n_end, np.array(k * r))[3])
     np.testing.assert_allclose(sing_d, hp[b.n_root], rtol=1e-12)

@@ -7,6 +7,8 @@ quadrature exactness) that do not rely on any external oracle.
 """
 
 import numpy as np
+
+from biem_helmholtz_sphere_tpu.ops.cplx import to_numpy as tonp
 import pytest
 import scipy.special as sp
 
@@ -34,7 +36,7 @@ def _ref_jh(d, n_end, z):
 
 @pytest.mark.parametrize("d", [2, 3, 4, 5, 6, 7])
 def test_spherical_jh_vs_scipy(d):
-    j, jp, h, hp = (np.asarray(a) for a in spherical_jh_all(d, N_END, Z))
+    j, jp, h, hp = (tonp(a) for a in spherical_jh_all(d, N_END, Z))
     for i, z in enumerate(Z):
         jref, href = _ref_jh(d, N_END, z)
         finite = np.isfinite(href)
@@ -50,10 +52,10 @@ def test_derivatives_by_finite_difference(d):
         jp_, _, hp_, _ = spherical_jh_all(d, 20, np.array(z + eps))
         j, jd, h, hd = spherical_jh_all(d, 20, np.array(z))
         np.testing.assert_allclose(
-            np.asarray(jd), (np.asarray(jp_) - np.asarray(jm)) / (2 * eps), rtol=2e-4, atol=1e-12
+            tonp(jd), (tonp(jp_) - tonp(jm)) / (2 * eps), rtol=2e-4, atol=1e-12
         )
         np.testing.assert_allclose(
-            np.asarray(hd), (np.asarray(hp_) - np.asarray(hm)) / (2 * eps), rtol=2e-4, atol=1e-12
+            tonp(hd), (tonp(hp_) - tonp(hm)) / (2 * eps), rtol=2e-4, atol=1e-12
         )
 
 
@@ -61,7 +63,7 @@ def test_derivatives_by_finite_difference(d):
 def test_wronskian_identity(d):
     # j_{n+1} h_n - j_n h_{n+1} = i / z^{d-1}  (exact Wronskian of the pair)
     z = np.array([0.5, 2.0, 9.0, 33.0])
-    j, _, h, _ = (np.asarray(a) for a in spherical_jh_all(d, 25, z))
+    j, _, h, _ = (tonp(a) for a in spherical_jh_all(d, 25, z))
     w = j[:, 1:] * h[:, :-1] - j[:, :-1] * h[:, 1:]
     target = (1j * z ** (1.0 - d))[:, None] * np.ones_like(w)
     np.testing.assert_allclose(w, target, rtol=1e-9)
@@ -72,7 +74,7 @@ def test_complex_argument():
     for d in (2, 3, 4):
         nu = (d - 2) / 2.0
         n = np.arange(15)
-        j, _, h, _ = (np.asarray(a) for a in spherical_jh_all(d, 15, zc))
+        j, _, h, _ = (tonp(a) for a in spherical_jh_all(d, 15, zc))
         c = np.sqrt(np.pi / 2.0)
         for i, z in enumerate(zc):
             jref = c * z ** (-nu) * sp.jv(n + nu, z)
@@ -85,7 +87,7 @@ def test_large_order_large_argument():
     # 2D k-sweep regime (reference: accuracy/accuracy_k_a.csv reaches
     # k = 4096, n_end = 3444)
     z = np.array([4096.0])
-    j, _, h, _ = (np.asarray(a) for a in spherical_jh_all(2, 3500, z))
+    j, _, h, _ = (tonp(a) for a in spherical_jh_all(2, 3500, z))
     n = np.arange(3500)
     c = np.sqrt(np.pi / 2.0)
     jref = c * sp.jv(n, 4096.0)
@@ -95,11 +97,11 @@ def test_large_order_large_argument():
 def test_shn1_sjn_single_order():
     z = np.array([1.0, 4.0])
     np.testing.assert_allclose(
-        np.asarray(shn1(2, 3, z)), sp.spherical_jn(2, z) + 1j * sp.spherical_yn(2, z), rtol=1e-10
+        tonp(shn1(2, 3, z)), sp.spherical_jn(2, z) + 1j * sp.spherical_yn(2, z), rtol=1e-10
     )
-    np.testing.assert_allclose(np.asarray(sjn(3, 3, z)), sp.spherical_jn(3, z), rtol=1e-10)
+    np.testing.assert_allclose(tonp(sjn(3, 3, z)), sp.spherical_jn(3, z), rtol=1e-10)
     np.testing.assert_allclose(
-        np.asarray(sjn(1, 3, z, derivative=True)),
+        tonp(sjn(1, 3, z, derivative=True)),
         sp.spherical_jn(1, z, derivative=True),
         rtol=1e-9,
     )
@@ -112,7 +114,7 @@ def test_gauss_jacobi_orthonormality(alpha, beta):
     # The rule must make the orthonormal Jacobi family exactly orthonormal.
     q = 24
     x, w = gauss_jacobi(q, alpha, beta)
-    t = np.asarray(orthonormal_jacobi_table(x, q - 1, [alpha], [beta]))[:, 0, :]
+    t = tonp(orthonormal_jacobi_table(x, q - 1, [alpha], [beta]))[:, 0, :]
     gram = (t * w[:, None]).T @ t
     np.testing.assert_allclose(gram, np.eye(q), atol=1e-10)
 

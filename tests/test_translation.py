@@ -6,6 +6,8 @@ section 7 step 4): S_h(y+t) must equal sum_{h'} (S|R)[h',h](t) R_{h'}(y).
 
 import jax.numpy as jnp
 import numpy as np
+
+from biem_helmholtz_sphere_tpu.ops.cplx import to_numpy as tonp
 import pytest
 
 from biem_helmholtz_sphere_tpu.coords import (
@@ -23,9 +25,9 @@ def _fields(c, n_end, x, k):
     """(S_h(x), R_h(x)) for a single point x."""
     d = c.c_ndim
     b = basis(c, n_end)
-    y = np.asarray(harmonics(c, from_cartesian(c, x.reshape(d, 1)), n_end))[0]
+    y = tonp(harmonics(c, from_cartesian(c, x.reshape(d, 1)), n_end))[0]
     r = float(np.linalg.norm(x))
-    j, _, h, _ = (np.asarray(a) for a in spherical_jh_all(d, n_end, np.array(k * r)))
+    j, _, h, _ = (tonp(a) for a in spherical_jh_all(d, n_end, np.array(k * r)))
     return h[b.n_root] * y, j[b.n_root] * y
 
 
@@ -43,10 +45,10 @@ def test_translation_addition_theorem(btype, n_end, rng):
     s_direct, r_direct = _fields(c, n_end, y + t, k)
     _, r_y = _fields(c, n_end, y, k)
 
-    sr = np.asarray(
+    sr = tonp(
         translation_matrix(c, jnp.asarray(t)[:, None], n_end, np.array([k]), kind="SR")
     )[0]
-    rr = np.asarray(
+    rr = tonp(
         translation_matrix(c, jnp.asarray(t)[:, None], n_end, np.array([k]), kind="RR")
     )[0]
     low = b.n_root <= min(5, n_end // 2)
@@ -67,10 +69,10 @@ def test_parity_relation(btype, n_end, rng):
     t = rng.normal(size=(d,))
     t *= 3.0 / np.linalg.norm(t)
     k = np.array([0.9])
-    sr = np.asarray(
+    sr = tonp(
         translation_matrix(c, jnp.asarray(t)[:, None], n_end, k, kind="SR")
     )[0]
-    srm = np.asarray(
+    srm = tonp(
         translation_matrix(c, -jnp.asarray(t)[:, None], n_end, k, kind="SR")
     )[0]
     par = (-1.0) ** (b.n_root[:, None] + b.n_root[None, :])
@@ -88,7 +90,7 @@ def test_large_n_end_stability():
     b = basis(c, n_end)
     t = np.array([0.0, 2.0, 3.0])
     k = np.array([1.0])
-    sr = np.asarray(
+    sr = tonp(
         translation_matrix(c, jnp.asarray(t)[:, None], n_end, k, kind="SR")
     )[0]
     # exact low-degree column h=0: SR[h',0] = (A_d/sqrt(omega)) (-1)^{n'}
@@ -98,11 +100,11 @@ def test_large_n_end_stability():
     d = 3
     a_d = 2.0 ** ((d + 1) / 2) * np.pi ** ((d - 1) / 2)
     omega = 2 * np.pi ** (d / 2) / gamma(d / 2)
-    yt = np.asarray(
+    yt = tonp(
         harmonics(c, from_cartesian(c, jnp.asarray(t).reshape(3, 1)), n_end)
     )[0]
     rt = np.linalg.norm(t)
-    h = np.asarray(spherical_jh_all(3, n_end, np.array(rt))[2])
+    h = tonp(spherical_jh_all(3, n_end, np.array(rt))[2])
     col = a_d / np.sqrt(omega) * (-1.0) ** b.n_root * h[b.n_root] * np.conj(yt)
     h0 = int(np.where(b.n_root == 0)[0][0])
     np.testing.assert_allclose(sr[:, h0], col, rtol=1e-10)
@@ -118,8 +120,8 @@ def test_method_constraints():
     with pytest.raises(ValueError):
         translation_matrix(c, t, 4, np.array([1.0]), method="bogus")
     # gumerov maps to the exact banded algorithm
-    a = np.asarray(translation_matrix(c, t, 4, np.array([1.0]), method="gumerov"))
-    b_ = np.asarray(translation_matrix(c, t, 4, np.array([1.0]), method="triplet"))
+    a = tonp(translation_matrix(c, t, 4, np.array([1.0]), method="gumerov"))
+    b_ = tonp(translation_matrix(c, t, 4, np.array([1.0]), method="triplet"))
     np.testing.assert_allclose(a, b_, rtol=1e-12)
 
 
