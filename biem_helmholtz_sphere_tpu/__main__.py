@@ -1,0 +1,6 @@
+"""`python -m biem_helmholtz_sphere_tpu` runs the CLI (reference:
+src/biem_helmholtz_sphere/__main__.py:1-5)."""
+
+from .cli import main
+
+main()

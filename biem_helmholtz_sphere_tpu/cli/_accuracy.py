@@ -1,0 +1,204 @@
+"""Convergence sweeps and error heatmaps (reference: cli.py:188-333).
+
+Two sweep modes, covering both CSV families the reference committed
+(SURVEY.md section 2.1, accuracy/):
+  mode="k":       2 unit spheres at (0, +-2, 0, ...), k in 2^{0..K step 0.5}
+  mode="n_balls": 2D lattice of (2 2^m)^2 spheres (reference cli._center),
+                  k = 1
+with n_end in unique(int(2^{0..N step 0.25})), NaN guards that raise, a
+CSV row appended per iteration (incremental checkpointing, SURVEY.md
+section 5), and per-iteration try/except-log-continue so OOM/overflow at
+extreme parameters does not kill the sweep (reference cli.py:269-271).
+"""
+
+import csv
+import logging
+import os
+import time
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def lattice_centers(n_side, d, spacing=4.0):
+    """2D square lattice in the (x0, x1) plane (reference cli.py:170-185)."""
+    g = (np.arange(n_side) - (n_side - 1) / 2) * spacing
+    xx, yy = np.meshgrid(g, g)
+    centers = np.zeros((n_side * n_side, d))
+    centers[:, 0] = xx.ravel()
+    centers[:, 1] = yy.ravel()
+    return centers
+
+
+def pair_centers(d):
+    centers = np.zeros((2, d))
+    centers[0, 1] = 2.0
+    centers[1, 1] = -2.0
+    return centers
+
+
+def _n_end_grid(n_end_max_log2):
+    vals = sorted(
+        {int(2.0**e) for e in np.arange(0.0, n_end_max_log2 + 1e-9, 0.25)}
+    )
+    return [v for v in vals if v >= 1]
+
+
+def run_accuracy(
+    out_dir,
+    branching_types=("a", "ba"),
+    mode="k",
+    k_max_log2=6.0,
+    n_end_max_log2=7.0,
+    n_balls_max_log4=3,
+):
+    import jax.numpy as jnp
+
+    from ..biem import biem, plane_wave
+    from ..coords import create_from_branching_types
+    from ..ops.cplx import to_numpy
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "accuracy.csv")
+    new = not os.path.exists(path)
+    with open(path, "a", newline="") as fh:
+        wr = csv.writer(fh)
+        if new:
+            wr.writerow(
+                [
+                    "branching_types",
+                    "mode",
+                    "n_balls",
+                    "k",
+                    "n_end",
+                    "uscat_real",
+                    "uscat_imag",
+                    "seconds",
+                ]
+            )
+        for btype in branching_types:
+            c = create_from_branching_types(btype)
+            d = c.c_ndim
+            direction = np.zeros(d)
+            direction[0] = 1.0
+            if mode == "k":
+                cases = [
+                    (pair_centers(d), 2.0**e)
+                    for e in np.arange(0.0, k_max_log2 + 1e-9, 0.5)
+                ]
+            else:
+                cases = [
+                    (lattice_centers(2 * 2**m, d), 1.0)
+                    for m in range(0, n_balls_max_log4 + 1)
+                ]
+            for centers, k in cases:
+                n_balls = len(centers)
+                for n_end in _n_end_grid(n_end_max_log2):
+                    t0 = time.perf_counter()
+                    try:
+                        uin, _ = plane_wave(
+                            k=np.asarray(k), direction=jnp.asarray(direction)
+                        )
+                        calc = biem(
+                            c,
+                            centers=jnp.asarray(centers),
+                            radii=jnp.ones(n_balls),
+                            k=np.asarray(k),
+                            n_end=n_end,
+                            uin=uin,
+                        )
+                        dens = to_numpy(calc.density)
+                        if np.any(np.isnan(dens)):
+                            raise ValueError("density contains NaN")
+                        u0 = complex(
+                            to_numpy(calc.uscat(jnp.zeros((d, 1)))).reshape(-1)[0]
+                        )
+                        if np.isnan(u0.real) or np.isnan(u0.imag):
+                            raise ValueError("uscat contains NaN")
+                        wr.writerow(
+                            [
+                                btype,
+                                mode,
+                                n_balls,
+                                k,
+                                n_end,
+                                u0.real,
+                                u0.imag,
+                                round(time.perf_counter() - t0, 3),
+                            ]
+                        )
+                        fh.flush()
+                        log.debug(
+                            "%s B=%d k=%g n_end=%d -> %s", btype, n_balls, k, n_end, u0
+                        )
+                    except Exception as e:
+                        log.warning(
+                            "accuracy %s B=%d k=%g n_end=%d failed: %s",
+                            btype,
+                            n_balls,
+                            k,
+                            n_end,
+                            e,
+                        )
+    log.info("appended to %s", path)
+    return path
+
+
+def plot_accuracy(out_dir):
+    """Error heatmaps: ground truth per sweep key = highest-n_end non-NaN
+    row (reference cli.py:306-309); |uscat - truth| heatmap per branching
+    type -> accuracy_heatmap_{mode}_{btype}.jpg."""
+    import glob
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import pandas as pd
+    from matplotlib.colors import LogNorm
+
+    frames = [
+        pd.read_csv(f) for f in glob.glob(os.path.join(out_dir, "accuracy*.csv"))
+    ]
+    if not frames:
+        raise FileNotFoundError(f"no accuracy CSVs in {out_dir}")
+    df = pd.concat(frames, ignore_index=True)
+    df["uscat"] = df["uscat_real"] + 1j * df["uscat_imag"]
+    out = []
+    for (btype, mode), grp in df.groupby(["branching_types", "mode"]):
+        key = "k" if mode == "k" else "n_balls"
+        rows = []
+        for kv, sub in grp.groupby(key):
+            sub = sub.dropna(subset=["uscat_real"])
+            truth = sub.loc[sub["n_end"].idxmax(), "uscat"]
+            for _, r in sub.iterrows():
+                rows.append((kv, r["n_end"], abs(r["uscat"] - truth)))
+        piv = (
+            pd.DataFrame(rows, columns=[key, "n_end", "err"])
+            .pivot_table(index="n_end", columns=key, values="err")
+            .sort_index(ascending=False)
+        )
+        fig, ax = plt.subplots(figsize=(6, 4.5))
+        vals = piv.values
+        vmin = max(np.nanmin(vals[vals > 0]) if (vals > 0).any() else 1e-16, 1e-16)
+        im = ax.imshow(
+            np.maximum(vals, vmin / 10),
+            aspect="auto",
+            norm=LogNorm(vmin=vmin, vmax=max(np.nanmax(vals), vmin * 10)),
+            cmap="viridis",
+        )
+        ax.set_xticks(range(len(piv.columns)))
+        ax.set_xticklabels([f"{v:g}" for v in piv.columns], rotation=90, fontsize=6)
+        ax.set_yticks(range(len(piv.index)))
+        ax.set_yticklabels([f"{v:g}" for v in piv.index], fontsize=6)
+        ax.set_xlabel(key)
+        ax.set_ylabel("n_end")
+        ax.set_title(f"|uscat - truth|  ({btype}, {mode}-sweep)")
+        fig.colorbar(im, ax=ax)
+        path = os.path.join(out_dir, f"accuracy_heatmap_{mode}_{btype}.jpg")
+        fig.savefig(path, dpi=160, bbox_inches="tight")
+        plt.close(fig)
+        out.append(path)
+        log.info("wrote %s", path)
+    return out

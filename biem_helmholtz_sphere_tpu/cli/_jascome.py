@@ -1,0 +1,112 @@
+"""The `jascome` paper benchmark (reference: cli.py:36-115, 145-167).
+
+For branching types {a, ba, bpa, bba, bpbpa, caa} x n_end 1..9: two unit
+spheres at (0, +-2, 0, ...), k = 1, plane wave along x0, sound-soft,
+triplet translation method; writes jascome_output.csv and draws each
+coordinate tree to {btype}.svg.  `clean_jascome` pivots per-dimension
+tables with complex values formatted as +-a+-bi (reference cli.py:145-167).
+"""
+
+import csv
+import logging
+import os
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+BTYPES = ["a", "ba", "bpa", "bba", "bpbpa", "caa"]
+
+
+def _center_pair(d):
+    centers = np.zeros((2, d))
+    centers[0, 1] = 2.0
+    centers[1, 1] = -2.0
+    return centers
+
+
+def run_jascome(out_dir, n_end_max=9, btypes=None):
+    import jax.numpy as jnp
+
+    from ..biem import biem, plane_wave
+    from ..coords import create_from_branching_types
+    from ..ops.cplx import to_numpy
+
+    os.makedirs(out_dir, exist_ok=True)
+    btypes = btypes or BTYPES
+    path = os.path.join(out_dir, "jascome_output.csv")
+    with open(path, "w", newline="") as fh:
+        wr = csv.writer(fh)
+        wr.writerow(["branching_types", "n_end", "uscat"])
+        for btype in btypes:
+            c = create_from_branching_types(btype)
+            d = c.c_ndim
+            # tree drawing (reference cli.py:70-73)
+            try:
+                import matplotlib
+
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+
+                ax = c.draw()
+                ax.figure.savefig(f"{btype}.svg")
+                plt.close(ax.figure)
+            except Exception as e:  # pragma: no cover
+                log.warning("tree drawing failed for %s: %s", btype, e)
+            direction = np.zeros(d)
+            direction[0] = 1.0
+            for n_end in range(1, n_end_max + 1):
+                try:
+                    uin, _ = plane_wave(
+                        k=np.asarray(1.0), direction=jnp.asarray(direction)
+                    )
+                    calc = biem(
+                        c,
+                        centers=jnp.asarray(_center_pair(d)),
+                        radii=jnp.ones(2),
+                        k=np.asarray(1.0),
+                        n_end=n_end,
+                        uin=uin,
+                        translational_coefficients_method="triplet",
+                    )
+                    u0 = complex(
+                        to_numpy(calc.uscat(jnp.zeros((d, 1)))).reshape(-1)[0]
+                    )
+                    wr.writerow([btype, n_end, f"({u0.real}{u0.imag:+}j)"])
+                    fh.flush()
+                    log.debug("jascome %s n=%d: %s", btype, n_end - 1, u0)
+                except Exception as e:  # reference tolerates failures
+                    log.warning("jascome %s n_end=%d failed: %s", btype, n_end, e)
+    log.info("wrote %s", path)
+    return path
+
+
+def _fmt_complex(s):
+    z = complex(str(s).replace(" ", ""))
+    return f"{z.real:+.6f}{z.imag:+.6f}i"
+
+
+def clean_jascome(out_dir):
+    """Pivot per-dimension tables (reference cli.py:145-167)."""
+    import pandas as pd
+
+    from ..coords import create_from_branching_types
+
+    src = os.path.join(out_dir, "jascome_output.csv")
+    df = pd.read_csv(src)
+    df["dim"] = [
+        create_from_branching_types(bt).c_ndim for bt in df["branching_types"]
+    ]
+    df["n"] = df["n_end"] - 1  # cleaned tables index by max degree n
+    out = []
+    for dim, grp in df.groupby("dim"):
+        piv = grp.pivot_table(
+            index="n",
+            columns="branching_types",
+            values="uscat",
+            aggfunc=lambda s: _fmt_complex(s.iloc[0]),
+        )
+        path = os.path.join(out_dir, f"jascome_output_{dim}d.csv")
+        piv.to_csv(path)
+        out.append(path)
+    return out

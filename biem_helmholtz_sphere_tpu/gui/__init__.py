@@ -1,0 +1,246 @@
+"""Browser GUI (reference layer 6, gui.py — panel there; stdlib http.server
+here since panel is not in this image).
+
+Feature parity with the reference's widget surface (gui.py:30-254):
+dimension/branching-type selection (standard / standard_prime / hopf /
+random / custom string), wavenumber (complex), eta, n_end (capped by
+max_n_end against available memory, reference gui.py:189-199), inner/
+outer kind, per-sphere table (alpha, beta, radius, center) editable as
+text, recompute on submit, near-field + far-field plots side by side,
+and SVG/PNG download of the figure.
+"""
+
+import base64
+import html
+import io
+import json
+import logging
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_DEFAULT_SPHERES = "1+0j, 0+0j, 1.0, 0 2 0\n1+0j, 0+0j, 1.0, 0 -2 0"
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>biem-helmholtz-sphere-tpu</title>
+<style>
+body {{ font-family: sans-serif; margin: 2em; max-width: 1100px; }}
+fieldset {{ margin-bottom: 1em; }} label {{ margin-right: 1em; }}
+textarea {{ width: 100%; font-family: monospace; }}
+img {{ max-width: 48%; }} .err {{ color: #b00; white-space: pre-wrap; }}
+</style></head><body>
+<h2>biem-helmholtz-sphere-tpu</h2>
+<form method="post" action="/">
+<fieldset><legend>Coordinates</legend>
+<label>type
+<select name="ctype">
+<option value="standard" {standard}>standard</option>
+<option value="standard_prime" {standard_prime}>standard_prime</option>
+<option value="hopf" {hopf}>hopf</option>
+<option value="random" {random}>random</option>
+<option value="custom" {custom}>custom</option>
+</select></label>
+<label>dimension <input name="dim" value="{dim}" size="2"></label>
+<label>custom branching string <input name="btype" value="{btype}" size="10"></label>
+</fieldset>
+<fieldset><legend>Calculation</legend>
+<label>k (complex ok) <input name="k" value="{k}" size="10"></label>
+<label>eta <input name="eta" value="{eta}" size="6"></label>
+<label>n_end <input name="n_end" value="{n_end}" size="4"></label>
+<label>kind <select name="kind"><option {outer}>outer</option><option {inner}>inner</option></select></label>
+<label>force_matrix <input type="checkbox" name="force_matrix" {force_matrix}></label>
+</fieldset>
+<fieldset><legend>Spheres (one per line: alpha, beta, radius, center coords)</legend>
+<textarea name="spheres" rows="4">{spheres}</textarea>
+</fieldset>
+<fieldset><legend>Plot</legend>
+<label>plane axes <input name="axes" value="{axes}" size="4"></label>
+<label>extent <input name="lim" value="{lim}" size="5"></label>
+<label>signed log <input type="checkbox" name="slog" {slog}></label>
+<label>format <select name="fmt"><option>png</option><option>svg</option><option>jpg</option></select></label>
+</fieldset>
+<button type="submit">Compute</button>
+</form>
+<div>{status}</div>
+<div>{images}</div>
+</body></html>
+"""
+
+
+def _solve_and_plot(form):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    import jax.numpy as jnp
+
+    from ..biem import biem, max_n_end, plane_wave
+    from ..coords import (
+        create_from_branching_types,
+        create_hopf,
+        create_random,
+        create_standard,
+        create_standard_prime,
+    )
+    from ..ops.cplx import C, to_numpy
+    from ..plot import plot_biem, plot_biem_far
+
+    ctype = form.get("ctype", "standard")
+    dim = int(form.get("dim", "3"))
+    if ctype == "standard":
+        c = create_standard(dim)
+    elif ctype == "standard_prime":
+        c = create_standard_prime(dim)
+    elif ctype == "hopf":
+        c = create_hopf(dim)
+    elif ctype == "random":
+        c = create_random(dim)
+    else:
+        c = create_from_branching_types(form.get("btype", "ba"))
+    d = c.c_ndim
+
+    rows = [
+        ln.strip() for ln in form.get("spheres", _DEFAULT_SPHERES).splitlines() if ln.strip()
+    ]
+    alphas, betas, radii, centers = [], [], [], []
+    for ln in rows:
+        a, b, r, ctr = [p.strip() for p in ln.split(",")]
+        alphas.append(complex(a))
+        betas.append(complex(b))
+        radii.append(float(r))
+        vec = [float(v) for v in ctr.split()]
+        if len(vec) != d:
+            raise ValueError(f"center {vec} has {len(vec)} coords, need {d}")
+        centers.append(vec)
+    k = complex(form.get("k", "1"))
+    if k.imag == 0:
+        k_in = np.asarray(k.real)
+    else:
+        k_in = C.of(k)
+    eta = float(form.get("eta", "1"))
+    n_end = int(form.get("n_end", "6"))
+    # cap by available memory (reference gui.py:189-199)
+    try:
+        import psutil
+
+        mem = psutil.virtual_memory().available // 16
+    except Exception:
+        mem = 4 * 2**30
+    cap = max_n_end(c_ndim=d, memory_limit=mem, n_balls=len(rows))
+    n_end = min(n_end, max(cap, 1))
+
+    direction = np.zeros(d)
+    direction[0] = 1.0
+    uin, uin_grad = plane_wave(k=k_in, direction=jnp.asarray(direction))
+    calc = biem(
+        c,
+        centers=jnp.asarray(np.array(centers)),
+        radii=jnp.asarray(np.array(radii)),
+        k=k_in,
+        n_end=n_end,
+        alpha=np.array(alphas),
+        beta=np.array(betas),
+        uin=uin,
+        uin_grad=uin_grad if any(abs(b) > 0 for b in betas) else None,
+        eta=np.asarray(eta),
+        kind=form.get("kind", "outer"),
+        force_matrix="force_matrix" in form,
+    )
+    axes = tuple(int(v) for v in form.get("axes", "0 1").replace(",", " ").split())
+    fmt = form.get("fmt", "png")
+    imgs = []
+    fig, (ax1, ax2) = plt.subplots(
+        1, 2, figsize=(11, 4.5), subplot_kw=None
+    )
+    ax2.remove()
+    ax2 = fig.add_subplot(1, 2, 2, projection="polar")
+    plot_biem(
+        calc,
+        axes=axes,
+        lim=float(form.get("lim", "6")),
+        use_signed_log="slog" in form,
+        ax=ax1,
+    )
+    plot_biem_far(calc, axes=axes, ax=ax2)
+    buf = io.BytesIO()
+    fig.savefig(buf, format=fmt, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    mime = {"png": "image/png", "jpg": "image/jpeg", "svg": "image/svg+xml"}[fmt]
+    imgs.append(
+        f'<img src="data:{mime};base64,{base64.b64encode(buf.getvalue()).decode()}">'
+    )
+    u0 = complex(to_numpy(calc.uscat(jnp.zeros((d, 1)))).reshape(-1)[0])
+    status = f"<p>uscat(0) = {u0:.6f} &nbsp; (n_end used: {n_end})</p>"
+    return status, "".join(imgs)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def _respond(self, form):
+        status, images = "", ""
+        if form.get("_submitted"):
+            try:
+                status, images = _solve_and_plot(form)
+            except Exception:
+                status = f'<div class="err">{html.escape(traceback.format_exc())}</div>'
+        page = _PAGE.format(
+            standard="selected" if form.get("ctype", "standard") == "standard" else "",
+            standard_prime="selected" if form.get("ctype") == "standard_prime" else "",
+            hopf="selected" if form.get("ctype") == "hopf" else "",
+            random="selected" if form.get("ctype") == "random" else "",
+            custom="selected" if form.get("ctype") == "custom" else "",
+            dim=html.escape(form.get("dim", "3")),
+            btype=html.escape(form.get("btype", "ba")),
+            k=html.escape(form.get("k", "1")),
+            eta=html.escape(form.get("eta", "1")),
+            n_end=html.escape(form.get("n_end", "6")),
+            outer="selected" if form.get("kind", "outer") == "outer" else "",
+            inner="selected" if form.get("kind") == "inner" else "",
+            force_matrix="checked" if "force_matrix" in form else "",
+            spheres=html.escape(form.get("spheres", _DEFAULT_SPHERES)),
+            axes=html.escape(form.get("axes", "0 1")),
+            lim=html.escape(form.get("lim", "6")),
+            slog="checked" if "slog" in form else "",
+            status=status,
+            images=images,
+        )
+        body = page.encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        self._respond({})
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", "0"))
+        raw = self.rfile.read(length).decode()
+        form = {k: v[0] for k, v in parse_qs(raw, keep_blank_values=True).items()}
+        form["_submitted"] = "1"
+        self._respond(form)
+
+    def log_message(self, fmt, *args):
+        log.debug("gui: " + fmt, *args)
+
+
+def servable():
+    """Return the handler class (parity with reference gui.servable())."""
+    return _Handler
+
+
+def serve(port=7860):
+    """Serve the GUI (reference: cli serve -> port 7860, cli.py:30-33)."""
+    httpd = ThreadingHTTPServer(("0.0.0.0", port), _Handler)
+    print(f"serving GUI on http://0.0.0.0:{port}")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()

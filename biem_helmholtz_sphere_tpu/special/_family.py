@@ -177,7 +177,9 @@ def spherical_jh_all(d, n_end, z):
     z = C.of(z)
     at_zero = (z.re == 0) & (z.im == 0)
     zs = cplx.where(at_zero, C.of(jnp.ones_like(z.re)), z)
-    n_top = n_end - 1 + m
+    # one extra order so that derivative tables (needing f_{n+1} at n=0)
+    # are never empty, even for n_end = 1
+    n_top = n_end + m
     jf, hf = family_jh(base, n_top, zs)
     inv_zm = zs ** (-m) if m > 0 else C.of(jnp.ones_like(zs.re))
     jp_full = _shift_deriv(base, m, jf, zs, inv_zm)
