@@ -314,6 +314,7 @@ def biem(
     kind: Literal["inner", "outer"] = "outer",
     force_matrix=False,
     translational_coefficients_method=None,
+    solver="auto",
 ):
     """Solve the Helmholtz BIEM for non-overlapping hyperspheres.
 
@@ -323,7 +324,15 @@ def biem(
     (alpha/beta/k inputs, density/matrix outputs, uscat results) are
     real-pair C (ops/cplx.py); use .to_numpy() for numpy complex.  Fully
     jittable for fixed (c, n_end, B); leading batch axes broadcast.
+
+    solver: "direct" (batched LU via the real block embedding),
+    "gmres" (Jacobi-preconditioned Krylov — the second-kind structure of
+    the combined-field system makes this converge in tens of matvecs;
+    required on TPU for B*H >~ 8k where the XLA block-LU overflows
+    scoped vmem), or "auto" (direct up to B*H = 6144, gmres beyond).
     """
+    if solver not in ("auto", "direct", "gmres"):
+        raise ValueError(f"unknown solver {solver!r}")
     centers, radii, k, eta, alpha, beta = _check_biem_inputs(
         c, centers, radii, k, eta, alpha, beta
     )
@@ -392,7 +401,14 @@ def biem(
             f2 = cplx.broadcast_to(f_exp, batch + f_exp.shape[-2:]).reshape(
                 batch + (n_balls * h_num,)
             )
-            density = cplx.solve(m2, f2).reshape(batch + (n_balls, h_num))
+            n_sys = n_balls * h_num
+            use_gmres = solver == "gmres" or (solver == "auto" and n_sys > 6144)
+            if use_gmres:
+                density = cplx.gmres_solve(m2, f2).reshape(
+                    batch + (n_balls, h_num)
+                )
+            else:
+                density = cplx.solve(m2, f2).reshape(batch + (n_balls, h_num))
 
     if uin is None:
         uin_wrapped = None

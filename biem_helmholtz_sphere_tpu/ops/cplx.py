@@ -364,6 +364,50 @@ def solve(a, b):
     return C(x[..., :n], x[..., n:])
 
 
+def gmres_solve(a, b, tol=None, restart=48, maxiter=400):
+    """Solve A x = b by Jacobi-preconditioned GMRES (C operands).
+
+    The BIEM combined-field system is second kind (diagonal blocks
+    dominate for separated spheres), so GMRES converges in tens of
+    iterations; each iteration is one dense matvec — MXU work with no
+    LU at all.  This also sidesteps the XLA TPU LuDecompositionBlock
+    VMEM limit (the block-LU custom call overflows scoped vmem for
+    N >~ 18k rows).  GMRES runs in the real pair space (the jax pytree
+    inner product over (re, im) is the real embedding of the complex
+    inner product), which is a valid Krylov method for the C-linear
+    operator.
+    """
+    import jax.scipy.sparse.linalg as spla
+
+    a = C.of(a)
+    b = C.of(b)
+    if tol is None:
+        tol = 1e-6 if jnp.finfo(b.re.dtype).bits == 32 else 1e-11
+
+    d = C(
+        jnp.diagonal(a.re, axis1=-2, axis2=-1),
+        jnp.diagonal(a.im, axis1=-2, axis2=-1),
+    )
+
+    def mv(x):
+        return einsum("...ij,...j->...i", a, x)
+
+    def precond(x):
+        return x / d
+
+    x, _ = spla.gmres(
+        mv,
+        b,
+        tol=tol,
+        atol=0.0,
+        restart=restart,
+        maxiter=maxiter,
+        M=precond,
+        solve_method="batched",
+    )
+    return x
+
+
 def to_numpy(x):
     """C -> numpy complex; anything else -> np.asarray (host)."""
     if isinstance(x, C):

@@ -1,0 +1,200 @@
+"""Frontend tests: CLI subcommands, plots, GUI handler, parallel sharding."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_cli_help():
+    out = subprocess.run(
+        [sys.executable, "-m", "biem_helmholtz_sphere_tpu", "--help"],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    assert out.returncode == 0
+    for cmd in ["serve", "jascome", "accuracy", "plot-accuracy", "bench"]:
+        assert cmd in out.stdout
+
+
+def test_jascome_bempp_graceful():
+    out = subprocess.run(
+        [sys.executable, "-m", "biem_helmholtz_sphere_tpu", "jascome-bempp"],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    assert out.returncode == 2
+    assert "bempp-cl" in out.stderr
+
+
+def test_accuracy_sweep_and_heatmap(tmp_path):
+    from biem_helmholtz_sphere_tpu.cli._accuracy import plot_accuracy, run_accuracy
+
+    path = run_accuracy(
+        str(tmp_path),
+        branching_types=["a"],
+        mode="k",
+        k_max_log2=1.0,
+        n_end_max_log2=2.0,
+    )
+    import pandas as pd
+
+    df = pd.read_csv(path)
+    assert len(df) >= 6
+    assert (df["branching_types"] == "a").all()
+    out = plot_accuracy(str(tmp_path))
+    assert all(os.path.exists(p) for p in out)
+
+
+def test_jascome_and_clean(tmp_path):
+    from biem_helmholtz_sphere_tpu.cli._jascome import clean_jascome, run_jascome
+
+    run_jascome(str(tmp_path), n_end_max=3, btypes=["a"])
+    files = clean_jascome(str(tmp_path))
+    import pandas as pd
+
+    df = pd.read_csv(files[0])
+    assert "a" in df.columns and len(df) == 3
+
+
+def test_plots(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from biem_helmholtz_sphere_tpu import biem, plane_wave
+    from biem_helmholtz_sphere_tpu.coords import create_from_branching_types
+    from biem_helmholtz_sphere_tpu.plot import plot_biem, plot_biem_far
+
+    c = create_from_branching_types("ba")
+    uin, _ = plane_wave(k=np.asarray(1.0), direction=jnp.asarray([1.0, 0.0, 0.0]))
+    calc = biem(
+        c,
+        centers=jnp.asarray([[0.0, 2.0, 0.0], [0.0, -2.0, 0.0]]),
+        radii=jnp.ones(2),
+        k=np.asarray(1.0),
+        n_end=4,
+        uin=uin,
+    )
+    ax = plot_biem(calc, n_points=24)
+    ax.figure.savefig(tmp_path / "near.png")
+    ax2 = plot_biem_far(calc, n_points=36)
+    ax2.figure.savefig(tmp_path / "far.png")
+    assert (tmp_path / "near.png").stat().st_size > 1000
+    assert (tmp_path / "far.png").stat().st_size > 1000
+
+
+def test_gui_solver_handler():
+    from biem_helmholtz_sphere_tpu.gui import _solve_and_plot
+
+    status, images = _solve_and_plot(
+        {
+            "ctype": "custom",
+            "btype": "ba",
+            "dim": "3",
+            "k": "1",
+            "eta": "1",
+            "n_end": "3",
+            "kind": "outer",
+            "spheres": "1+0j, 0+0j, 1.0, 0 2 0\n1+0j, 0+0j, 1.0, 0 -2 0",
+            "axes": "0 1",
+            "lim": "6",
+            "fmt": "png",
+        }
+    )
+    assert "uscat(0)" in status
+    assert "base64" in images
+
+
+def test_gui_http_roundtrip():
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from biem_helmholtz_sphere_tpu.gui import _Handler
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    port = httpd.server_address[1]
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=30
+        ).read()
+        assert b"biem-helmholtz-sphere-tpu" in page
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_sharded_sweep_and_uscat():
+    from biem_helmholtz_sphere_tpu import biem, plane_wave
+    from biem_helmholtz_sphere_tpu.coords import create_from_branching_types
+    from biem_helmholtz_sphere_tpu.ops.cplx import to_numpy
+    from biem_helmholtz_sphere_tpu.parallel import (
+        make_mesh,
+        sharded_sweep,
+        sharded_uscat,
+    )
+
+    n_dev = len(jax.devices())
+    assert n_dev >= 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(n_devices=8, axis_names=("sweep",))
+    c = create_from_branching_types("ba")
+    centers = jnp.asarray([[0.0, 2.0, 0.0], [0.0, -2.0, 0.0]])
+    ks = jnp.asarray(np.linspace(0.8, 1.2, 16))
+    u = sharded_sweep(
+        c,
+        centers=centers,
+        radii=jnp.ones(2),
+        ks=ks,
+        n_end=4,
+        direction=np.array([1.0, 0.0, 0.0]),
+        mesh=mesh,
+    )
+    u_np = to_numpy(u)
+    assert u_np.shape == (16,)
+    # spot-check one sweep point against an unsharded solve
+    uin, _ = plane_wave(
+        k=ks[3], direction=jnp.asarray(np.array([1.0, 0.0, 0.0]))
+    )
+    calc = biem(c, centers=centers, radii=jnp.ones(2), k=ks[3], n_end=4, uin=uin)
+    u3 = complex(to_numpy(calc.uscat(jnp.zeros((3, 1)))).reshape(-1)[0])
+    np.testing.assert_allclose(u_np[3], u3, rtol=1e-9)
+
+    x = np.zeros((3, 16))
+    x[0] = np.linspace(3.0, 6.0, 16)
+    u2 = sharded_uscat(
+        calc, x, mesh=make_mesh(n_devices=8, axis_names=("points",))
+    )
+    ref = to_numpy(calc.uscat(jnp.asarray(x)))
+    np.testing.assert_allclose(to_numpy(u2), ref, rtol=1e-9)
+
+
+def test_gmres_matches_direct():
+    from biem_helmholtz_sphere_tpu import biem, plane_wave
+    from biem_helmholtz_sphere_tpu.coords import create_from_branching_types
+    from biem_helmholtz_sphere_tpu.ops.cplx import to_numpy
+
+    c = create_from_branching_types("ba")
+    uin, _ = plane_wave(k=np.asarray(1.0), direction=jnp.asarray([1.0, 0.0, 0.0]))
+    kw = dict(
+        centers=jnp.asarray([[0.0, 2.0, 0.0], [0.0, -2.0, 0.0]]),
+        radii=jnp.ones(2),
+        k=np.asarray(1.0),
+        n_end=6,
+        uin=uin,
+    )
+    d1 = to_numpy(biem(c, **kw, solver="direct").density)
+    d2 = to_numpy(biem(c, **kw, solver="gmres").density)
+    np.testing.assert_allclose(d1, d2, rtol=1e-7, atol=1e-12)
+    with pytest.raises(ValueError):
+        biem(c, **kw, solver="bogus")
