@@ -15,7 +15,10 @@ subpackages (`special`, `coords`, `harmonics`, `translation`).
 """
 
 from .biem import (
+    BIEMKwargs,
     BIEMResultCalculator,
+    BIEMResultCalculatorProtocol,
+    UinCallable,
     biem,
     biem_u,
     max_memory,
@@ -30,6 +33,9 @@ __all__ = [
     "biem",
     "biem_u",
     "BIEMResultCalculator",
+    "BIEMResultCalculatorProtocol",
+    "BIEMKwargs",
+    "UinCallable",
     "plane_wave",
     "point_source",
     "max_memory",

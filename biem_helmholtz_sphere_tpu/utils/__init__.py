@@ -1,5 +1,7 @@
 """Shared utilities."""
 
+from ._compat import btensorsolve, shift_nth_row_n_steps  # noqa: F401
+
 import logging
 import time
 from contextlib import contextmanager
