@@ -64,6 +64,10 @@ def main():
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # "high" (3-pass bf16) restores true-float32 matmul accuracy on TPU
+    # (sound-soft BC residual 6e-4 vs 2.7e-2 at the bf16 default) for a
+    # ~29% per-solve cost; see BENCH_NOTES.md.
+    jax.config.update("jax_default_matmul_precision", "high")
 
     import jax.numpy as jnp
 

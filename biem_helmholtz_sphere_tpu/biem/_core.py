@@ -250,8 +250,19 @@ def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method):
     # ordered pairs b < b'
     bu, bv = np.triu_indices(n_balls, k=1)
     t = centers[..., bu, :] - centers[..., bv, :]  # [..., NP, d]; t = c_b - c_b'
+
+    # Lattice/structured geometries repeat offsets: when centers are
+    # concrete (closed-over constants under jit), compute (S|R) only for
+    # the distinct offset vectors and gather per pair.
+    gather_pairs = None
+    if _is_concrete(centers) and t.ndim == 2:
+        t_np = np.round(np.asarray(t), 12)
+        uniq, inv = np.unique(t_np, axis=0, return_inverse=True)
+        if len(uniq) < len(bu):
+            t = jnp.asarray(uniq)
+            gather_pairs = np.asarray(inv)
     t_cart = jnp.moveaxis(t, -1, 0)
-    n_pairs = len(bu)
+    n_pairs = t_cart.shape[-1]
 
     if n_pairs <= _PAIR_CHUNK:
         sr_up = translation_matrix(
@@ -278,6 +289,9 @@ def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method):
         sr_up = sr_up.reshape(
             sr_up.shape[:-4] + (n_chunks * _PAIR_CHUNK,) + sr_up.shape[-2:]
         )[..., :n_pairs, :, :]
+
+    if gather_pairs is not None:
+        sr_up = sr_up[..., gather_pairs, :, :]
 
     par = jnp.asarray(
         (-1.0) ** (b_.n_root[:, None].astype(np.int64) + b_.n_root[None, :]),
