@@ -249,18 +249,23 @@ def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method):
 
     # ordered pairs b < b'
     bu, bv = np.triu_indices(n_balls, k=1)
-    t = centers[..., bu, :] - centers[..., bv, :]  # [..., NP, d]; t = c_b - c_b'
 
     # Lattice/structured geometries repeat offsets: when centers are
-    # concrete (closed-over constants under jit), compute (S|R) only for
-    # the distinct offset vectors and gather per pair.
+    # concrete (constants at trace time), compute (S|R) only for the
+    # distinct offset vectors and gather per pair.  (The offsets are
+    # built in numpy: jnp ops on constants inside a trace yield tracers.)
     gather_pairs = None
-    if _is_concrete(centers) and t.ndim == 2:
-        t_np = np.round(np.asarray(t), 12)
+    if _is_concrete(centers) and centers.ndim == 2:
+        c_np = np.asarray(centers)
+        t_np = np.round(c_np[bu] - c_np[bv], 12)
         uniq, inv = np.unique(t_np, axis=0, return_inverse=True)
         if len(uniq) < len(bu):
             t = jnp.asarray(uniq)
             gather_pairs = np.asarray(inv)
+        else:
+            t = jnp.asarray(t_np)
+    else:
+        t = centers[..., bu, :] - centers[..., bv, :]  # [..., NP, d]
     t_cart = jnp.moveaxis(t, -1, 0)
     n_pairs = t_cart.shape[-1]
 
