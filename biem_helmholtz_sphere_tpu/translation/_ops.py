@@ -142,7 +142,7 @@ def _diag_contract(band, yoc, yi):
     return cplx.einsum("...qa,qb->...ab", scaled, yi)
 
 
-def _sr_banded(c, t_sph, n_out, n_in, k, kind):
+def _sr_banded(c, t_sph, n_out, n_in, k, kind, use_pallas=False):
     """Masked band-accumulation (S|R) (or (R|R)) for d >= 3."""
     d = c.c_ndim
     w, yoc, yi, s_cart, phase, n_o, n_i = _quad_tables(c, n_out, n_in)
@@ -166,6 +166,19 @@ def _sr_banded(c, t_sph, n_out, n_in, k, kind):
     a_d = _a_const(d)
     omega = _surface_area(d)
     nsum = jnp.asarray(n_o[:, None] + n_i[None, :])  # [Ho, Hi]
+
+    if use_pallas and x.ndim == 2 and n_out == n_in and rad.shape[:-1] == x.shape[:-1]:
+        import os
+
+        from ..ops.cplx import ipow
+        from ..ops.pallas_sr import sr_banded_pallas_padded
+
+        coef = ipow(np.arange(n_bands)) * a_d * rad  # C [P, NB]
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        out = sr_banded_pallas_padded(
+            d, x, w, coef, yoc, yi, jnp.asarray(n_o), interpret=interpret
+        )
+        return out * phase
 
     ho, hi = yoc.shape[-1], yi.shape[-1]
     batch = jnp.broadcast_shapes(x.shape[:-1], rad.shape[:-1])
@@ -192,7 +205,9 @@ def _sr_banded(c, t_sph, n_out, n_in, k, kind):
     return m * phase
 
 
-def translation_matrix(c, t, n_end, k, kind="SR", n_end_add=None, method=None):
+def translation_matrix(
+    c, t, n_end, k, kind="SR", n_end_add=None, method=None, use_pallas=None
+):
     """Translation operator matrix C [..., H_out, H_in] for offsets t.
 
     Parameters
@@ -230,6 +245,11 @@ def translation_matrix(c, t, n_end, k, kind="SR", n_end_add=None, method=None):
     if not isinstance(k, C):
         k = jnp.asarray(k)
 
+    if use_pallas is None:
+        import os
+
+        use_pallas = os.environ.get("BHS_TPU_PALLAS", "0") == "1"
+
     if c.c_ndim == 2:
         return _graf_2d(c, t_sph, n_end, n_in, k, kind)
 
@@ -246,4 +266,4 @@ def translation_matrix(c, t, n_end, k, kind="SR", n_end_add=None, method=None):
         f = cplx.exp(kk[..., None] * ts * 1j) * w.astype(rdt)
         return _diag_contract(f, yoc.astype(rdt), yi.astype(rdt)) * phase
 
-    return _sr_banded(c, t_sph, n_end, n_in, k, kind)
+    return _sr_banded(c, t_sph, n_end, n_in, k, kind, use_pallas=use_pallas)
