@@ -18,8 +18,16 @@ recurrence *inside the kernel*.  Compared with the XLA band scan
 Grid: (pairs, H/TA, H/TB, Q/QC); the Q-chunk axis is innermost and
 accumulates into the same output block (the zonal recurrence is
 independent per quadrature point, so each chunk reruns its own band
-recurrence).  Complex values are (re, im) pairs throughout; the four
-real [TA, QC] x [QC, TB] matmuls per band run on the MXU.
+recurrence).  Complex values are (re, im) pairs; the four real
+[TA, QC] x [TB, QC]^T matmuls per band run on the MXU.
+
+Mosaic constraints honored (found empirically on the axon backend):
+every loop-carried vector is a 2-D [1, QC] row (1-D carries hit an
+"Invalid relayout" bug); per-band complex coefficients are scalar-
+prefetch SMEM operands (dynamic scalar indexing of VMEM is
+unsupported); harmonic tiles are passed transposed [H, Q] so no
+in-kernel transposes are needed; the degree-sum mask is a precomputed
+[H, H] operand.
 
 Enable via translation_matrix(..., use_pallas=True) or the
 BHS_TPU_PALLAS=1 environment variable; the XLA band scan remains the
@@ -39,8 +47,8 @@ TB = 128
 QC = 512
 
 
-def _kernel(d, omega, nb_total, x_ref, w_ref, cre_ref, cim_ref, yor_ref,
-            yoi_ref, yir_ref, yii_ref, dega_ref, degb_ref, ore_ref, oim_ref):
+def _kernel(nb_total, fre_ref, fim_ref, yor_ref, yoi_ref, yir_ref, yii_ref,
+            dsum_ref, ore_ref, oim_ref):
     from jax.experimental import pallas as pl
 
     qc_idx = pl.program_id(3)
@@ -50,60 +58,67 @@ def _kernel(d, omega, nb_total, x_ref, w_ref, cre_ref, cim_ref, yor_ref,
         ore_ref[...] = jnp.zeros_like(ore_ref)
         oim_ref[...] = jnp.zeros_like(oim_ref)
 
-    x = x_ref[0, :]  # [QC]
-    wv = w_ref[0, :]
-    yor = yor_ref[...]  # [QC, TA]
+    yor = yor_ref[...]  # [TA, QC] (transposed tiles)
     yoi = yoi_ref[...]
-    yir = yir_ref[...]  # [QC, TB]
+    yir = yir_ref[...]  # [TB, QC]
     yii = yii_ref[...]
-    dega = dega_ref[0, :]  # [TA] (float degrees)
-    degb = degb_ref[0, :]
-    dsum = dega[:, None] + degb[None, :]  # [TA, TB]
-    nb_tile = jnp.minimum(
-        jnp.max(dega) + jnp.max(degb) + 1.0, float(nb_total)
-    ).astype(jnp.int32)
+    dsum = dsum_ref[...]  # [TA, TB]
+    nb_tile = jnp.minimum(jnp.max(dsum) + 1.0, float(nb_total)).astype(jnp.int32)
 
-    nu = 0.5 * (d - 2.0)
+    dn = (((1,), (1,)), ((), ()))  # contract the QC axis of both operands
+    prec = jax.lax.Precision.HIGHEST  # full-f32 MXU passes: the oscillatory
+    # harmonic products cancel heavily; bf16 input rounding costs ~10%
+
+    def _dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dn, preferred_element_type=jnp.float32, precision=prec
+        )
 
     def band_step(n2i, carry):
-        c_prev, c_cur, acc_re, acc_im = carry
-        n2 = n2i.astype(x.dtype)
-        zonal = (2.0 * n2 + d - 2.0) / ((d - 2.0) * omega) * c_cur  # [QC]
-        f = wv * zonal
-        cre = cre_ref[0, n2i]
-        cim = cim_ref[0, n2i]
-        # scaled = conjY * (coef * f)  (coef complex scalar, f real vector)
-        fre = f * cre
-        fim = f * cim
-        s_re = yor * fre[:, None] - yoi * fim[:, None]  # [QC, TA]
-        s_im = yor * fim[:, None] + yoi * fre[:, None]
-        u_re = jnp.dot(s_re.T, yir, preferred_element_type=jnp.float32) - jnp.dot(
-            s_im.T, yii, preferred_element_type=jnp.float32
-        )
-        u_im = jnp.dot(s_re.T, yii, preferred_element_type=jnp.float32) + jnp.dot(
-            s_im.T, yir, preferred_element_type=jnp.float32
-        )
-        keep = dsum >= n2
+        acc_re, acc_im = carry  # [TA, TB]
+        # band kernel row (precomputed in XLA): dynamic slice, no carries
+        fre = fre_ref[0, pl.ds(n2i, 1), :]  # [1, QC]
+        fim = fim_ref[0, pl.ds(n2i, 1), :]
+        s_re = yor * fre - yoi * fim  # [TA, QC]
+        s_im = yor * fim + yoi * fre
+        u_re = _dot(s_re, yir) - _dot(s_im, yii)
+        u_im = _dot(s_re, yii) + _dot(s_im, yir)
+        keep = dsum >= n2i.astype(dsum.dtype)
         acc_re = acc_re + jnp.where(keep, u_re, 0.0)
         acc_im = acc_im + jnp.where(keep, u_im, 0.0)
-        c_next = (2.0 * (n2 + nu) * x * c_cur - (n2 + 2.0 * nu - 1.0) * c_prev) / (
-            n2 + 1.0
-        )
-        return c_cur, c_next, acc_re, acc_im
+        return acc_re, acc_im
 
-    c0 = jnp.ones_like(x)
-    cm1 = jnp.zeros_like(x)
     acc0 = jnp.zeros((TA, TB), dtype=jnp.float32)
-    _, _, acc_re, acc_im = jax.lax.fori_loop(
-        0, nb_tile, band_step, (cm1, c0, acc0, acc0)
-    )
+    acc_re, acc_im = jax.lax.fori_loop(0, nb_tile, band_step, (acc0, acc0))
     ore_ref[0, :, :] += acc_re
     oim_ref[0, :, :] += acc_im
 
 
+def _band_kernels(d, x, w, coef):
+    """XLA precompute of F[p, n'', q] = coef[p, n''] w_q Z_{n''}(x[p, q])."""
+    from scipy.special import gamma as _g
+
+    omega = float(2.0 * np.pi ** (d / 2.0) / _g(d / 2.0))
+    nu = 0.5 * (d - 2.0)
+    nb = coef.shape[-1]
+
+    def step(carry, n2):
+        c_prev, c_cur = carry
+        zonal = (2.0 * n2 + d - 2.0) / ((d - 2.0) * omega) * c_cur  # [P, Q]
+        c_next = (2.0 * (n2 + nu) * x * c_cur - (n2 + 2.0 * nu - 1.0) * c_prev) / (
+            n2 + 1.0
+        )
+        return (c_cur, c_next), zonal
+
+    ns = jnp.arange(nb, dtype=x.dtype)
+    (_, _), zs = jax.lax.scan(step, (jnp.zeros_like(x), jnp.ones_like(x)), ns)
+    zonal = jnp.moveaxis(zs, 0, 1)  # [P, NB, Q]
+    return coef[..., None] * (zonal * w)  # C [P, NB, Q]
+
+
 def sr_banded_pallas_padded(d, x, w, coef, yo_conj, yi, degrees, interpret=False):
     """Pad Q to a multiple of QC (zero weights) and H to a multiple of the
-    tile (sentinel degrees; columns sliced off) before the kernel."""
+    tile (zero-padded harmonics; columns sliced off) before the kernel."""
     p, q = x.shape
     h = yo_conj.shape[-1]
     qp = -(-q // QC) * QC
@@ -146,39 +161,38 @@ def sr_banded_pallas(d, x, w, coef, yo_conj, yi, degrees, interpret=False):
     from functools import partial
 
     from jax.experimental import pallas as pl
-    from scipy.special import gamma as _g
 
     p, q = x.shape
     h = yo_conj.shape[-1]
     nb = coef.shape[-1]
     if h % TA or h % TB or q % QC:
         raise ValueError(f"shapes must tile: H={h} (TA={TA}), Q={q} (QC={QC})")
-    omega = float(2.0 * np.pi ** (d / 2.0) / _g(d / 2.0))
-    deg_f = degrees.astype(jnp.float32).reshape(1, h)
-    w2 = w.reshape(1, q).astype(jnp.float32)
+    deg_f = degrees.astype(jnp.float32)
+    dsum = deg_f[:, None] + deg_f[None, :]  # [H, H]
+
+    f_bands = _band_kernels(
+        float(d), x.astype(jnp.float32), w.astype(jnp.float32), coef.astype(jnp.float32)
+    )  # C [P, NB, Q]
 
     grid = (p, h // TA, h // TB, q // QC)
-    out_shape = [
-        jax.ShapeDtypeStruct((p, h, h), jnp.float32),
-        jax.ShapeDtypeStruct((p, h, h), jnp.float32),
-    ]
-    kernel = partial(_kernel, float(d), omega, nb)
     in_specs = [
-        pl.BlockSpec((1, QC), lambda pp, a, b, qc: (pp, qc)),  # x
-        pl.BlockSpec((1, QC), lambda pp, a, b, qc: (0, qc)),  # w
-        pl.BlockSpec((1, nb), lambda pp, a, b, qc: (pp, 0)),  # coef re
-        pl.BlockSpec((1, nb), lambda pp, a, b, qc: (pp, 0)),  # coef im
-        pl.BlockSpec((QC, TA), lambda pp, a, b, qc: (qc, a)),  # yo re
-        pl.BlockSpec((QC, TA), lambda pp, a, b, qc: (qc, a)),  # yo im
-        pl.BlockSpec((QC, TB), lambda pp, a, b, qc: (qc, b)),  # yi re
-        pl.BlockSpec((QC, TB), lambda pp, a, b, qc: (qc, b)),  # yi im
-        pl.BlockSpec((1, TA), lambda pp, a, b, qc: (0, a)),  # deg a
-        pl.BlockSpec((1, TB), lambda pp, a, b, qc: (0, b)),  # deg b
+        pl.BlockSpec((1, nb, QC), lambda pp, a, b, qc: (pp, 0, qc)),  # F re
+        pl.BlockSpec((1, nb, QC), lambda pp, a, b, qc: (pp, 0, qc)),  # F im
+        pl.BlockSpec((TA, QC), lambda pp, a, b, qc: (a, qc)),  # yoT re
+        pl.BlockSpec((TA, QC), lambda pp, a, b, qc: (a, qc)),  # yoT im
+        pl.BlockSpec((TB, QC), lambda pp, a, b, qc: (b, qc)),  # yiT re
+        pl.BlockSpec((TB, QC), lambda pp, a, b, qc: (b, qc)),  # yiT im
+        pl.BlockSpec((TA, TB), lambda pp, a, b, qc: (a, b)),  # dsum
     ]
     out_specs = [
         pl.BlockSpec((1, TA, TB), lambda pp, a, b, qc: (pp, a, b)),
         pl.BlockSpec((1, TA, TB), lambda pp, a, b, qc: (pp, a, b)),
     ]
+    out_shape = [
+        jax.ShapeDtypeStruct((p, h, h), jnp.float32),
+        jax.ShapeDtypeStruct((p, h, h), jnp.float32),
+    ]
+    kernel = partial(_kernel, nb)
     ore, oim = pl.pallas_call(
         kernel,
         grid=grid,
@@ -187,15 +201,12 @@ def sr_banded_pallas(d, x, w, coef, yo_conj, yi, degrees, interpret=False):
         out_shape=out_shape,
         interpret=interpret,
     )(
-        x.astype(jnp.float32),
-        w2,
-        coef.re.astype(jnp.float32),
-        coef.im.astype(jnp.float32),
-        yo_conj.re.astype(jnp.float32),
-        yo_conj.im.astype(jnp.float32),
-        yi.re.astype(jnp.float32),
-        yi.im.astype(jnp.float32),
-        deg_f,
-        deg_f,
+        f_bands.re,
+        f_bands.im,
+        yo_conj.re.T.astype(jnp.float32),
+        yo_conj.im.T.astype(jnp.float32),
+        yi.re.T.astype(jnp.float32),
+        yi.im.T.astype(jnp.float32),
+        dsum,
     )
     return C(ore, oim)
