@@ -13,7 +13,6 @@ and SVG/PNG download of the figure.
 import base64
 import html
 import io
-import json
 import logging
 import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer

@@ -9,7 +9,7 @@ coordinate plane (reference: plot.py:133-217).
 
 import numpy as np
 
-from ..ops.cplx import C, to_numpy
+from ..ops.cplx import to_numpy
 
 __all__ = ["plot_biem", "plot_biem_far", "signed_log"]
 
