@@ -94,6 +94,12 @@ def main(argv=None):
     zp.add_argument("--n-end", type=int, default=16)
     zp.add_argument("--n-side", type=int, default=2)
     zp.add_argument("--k", type=float, default=4.0)
+    zp.add_argument(
+        "--profile",
+        default=None,
+        help="write a jax.profiler trace to this directory (SURVEY.md "
+        "section 5 observability)",
+    )
 
     args = p.parse_args(argv)
     _setup_logging(args.verbose)
@@ -143,7 +149,9 @@ def main(argv=None):
     elif args.cmd == "bench":
         from ._bench import run_bench
 
-        run_bench(n_end=args.n_end, n_side=args.n_side, k=args.k)
+        run_bench(
+            n_end=args.n_end, n_side=args.n_side, k=args.k, profile=args.profile
+        )
 
 
 if __name__ == "__main__":

@@ -92,7 +92,11 @@ def run_accuracy(
                     (lattice_centers(2 * 2**m, d), 1.0)
                     for m in range(0, n_balls_max_log4 + 1)
                 ]
-            for centers, k in cases:
+            try:
+                from tqdm import tqdm
+            except Exception:  # pragma: no cover
+                tqdm = lambda it, **kw: it  # noqa: E731
+            for centers, k in tqdm(cases, desc=f"{btype} {mode}-sweep"):
                 n_balls = len(centers)
                 for n_end in _n_end_grid(n_end_max_log2):
                     t0 = time.perf_counter()

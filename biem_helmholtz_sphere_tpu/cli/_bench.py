@@ -10,7 +10,7 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
-def run_bench(n_end=16, n_side=2, k=4.0):
+def run_bench(n_end=16, n_side=2, k=4.0, profile=None):
     import jax
     import jax.numpy as jnp
 
@@ -32,11 +32,16 @@ def run_bench(n_end=16, n_side=2, k=4.0):
     t0 = time.perf_counter()
     f(jnp.float32(k)).block_until_ready()
     compile_s = time.perf_counter() - t0
+    if profile:
+        jax.profiler.start_trace(profile)
     t0 = time.perf_counter()
     reps = 3
     for i in range(reps):
         f(jnp.float32(k + 0.01 * (i + 1))).block_until_ready()
     per_solve = (time.perf_counter() - t0) / reps
+    if profile:
+        jax.profiler.stop_trace()
+        log.info("wrote jax.profiler trace to %s", profile)
     dev = jax.devices()[0]
     print(
         f"device={dev.platform} B={n_side**2} n_end={n_end} k={k}: "

@@ -1,7 +1,7 @@
 """Hyperspherical harmonics over branching trees (reference layer 3,
 `ultrasphere-harmonics`)."""
 
-from ._eval import harmonics
+from ._eval import Phase, harmonics
 from ._expand import expand
 from ._index import (
     HarmonicBasis,
@@ -18,6 +18,7 @@ __all__ = [
     "HarmonicBasis",
     "basis",
     "harmonics",
+    "Phase",
     "expand",
     "harm_n_ndim",
     "harm_n_ndim_le",

@@ -81,14 +81,31 @@ def _node_table(node, jobs, spherical):
     return fampow[..., fidx] * table[..., fidx, jidx]
 
 
-def harmonics(c, spherical, n_end):
+class Phase(int):
+    """Phase-convention marker (API parity with ultrasphere_harmonics.Phase;
+    reference call sites pass Phase(0), _biem.py:633,701,926).  This
+    implementation uses the fixed e^{i m phi} convention, which is the
+    Phase(0) convention; other values are not implemented."""
+
+    def __new__(cls, v=0):
+        if int(v) != 0:
+            raise NotImplementedError(
+                "only the Phase(0) (e^{i m phi}) convention is implemented"
+            )
+        return super().__new__(cls, v)
+
+
+def harmonics(c, spherical, n_end, phase=None):
     """Evaluate all Y_h, h = 0..num-1, at the given angles: [..., num].
 
     `spherical` maps node id -> angle array (broadcastable shapes); the
     radius entry "r", if present, is ignored (harmonics live on the
     sphere).  Reference: ush.harmonics(c, spherical, n_end, Phase(0),
-    expand_dims=True, concat=True).
+    expand_dims=True, concat=True).  `phase` accepts Phase(0) for API
+    parity.
     """
+    if phase is not None:
+        Phase(phase)
     b = basis(c, n_end)
     out = None
     for node in c.nodes:
