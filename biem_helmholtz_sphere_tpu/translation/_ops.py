@@ -226,7 +226,7 @@ def translation_matrix(
     Convention: S_h(y + t) = sum_{h'} M[..., h', h] R_{h'}(y).
     """
     n_in = n_end if n_end_add is None else n_end_add
-    if method not in (None, "triplet", "plane_wave", "gumerov"):
+    if method not in (None, "triplet", "plane_wave", "gumerov", "rotation"):
         raise ValueError(f"unknown translation method {method!r}")
     if kind == "SR" and method == "plane_wave":
         raise ValueError(
@@ -252,6 +252,19 @@ def translation_matrix(
 
     if c.c_ndim == 2:
         return _graf_2d(c, t_sph, n_end, n_in, k, kind)
+
+    # fast path: rotation + coaxial decomposition (O(H^2) per offset) for
+    # 'b'-rooted trees; auto-selected, or forced with method="rotation"
+    use_rotation = method == "rotation" or (
+        method is None
+        and c.root.kind in ("b", "bp")
+        and n_in == n_end
+        and not use_pallas
+    )
+    if use_rotation:
+        from ._rotation import sr_rotation
+
+        return sr_rotation(c, t_sph, n_end, k, kind=kind)
 
     if kind == "RR":
         # bounded plane-wave kernel: single dense contraction, exact
