@@ -61,10 +61,9 @@ def _root_axis(c):
 def _coax_tables(c, n_end, _x64):
     """Static tables for the coaxial factor.
 
-    Returns (theta_w [q], T [q, J] root factor table, job_index [H],
-    root_deg [H] (l per flat h), child_nc [H], child_state_id [H],
-    zonal_fac [NB] = rootfac_{(0,n'')}(0)/sqrt(omega_child),
-    Tz [q, NB] = rootfac_{(0,n'')}(theta_q)).
+    Returns (zf [NB] real zonal prefactors, U [NB, H, H] real
+    radius-independent band matrices exactly masked to the Gaunt support
+    and the child-state delta, phase C [H, H] = i^{l'-l}).
     """
     with jax.ensure_compile_time_eval():
         b = basis(c, n_end)
@@ -119,6 +118,7 @@ def _coax_tables(c, n_end, _x64):
 
 def coaxial_sr(c, r, n_end, k, kind="SR"):
     """SR along the root axis for radii r [...]: C [..., H, H]."""
+    _root_axis(c)  # validate tree shape before touching tables
     d = c.c_ndim
     zf, u, phase = _coax_tables(c, n_end, jax.config.jax_enable_x64)
     rdt = jnp.result_type(
@@ -206,6 +206,7 @@ def sr_rotation(c, t_sph, n_end, k, kind="SR"):
 
     t described by its spherical mapping (with "r"); batch axes allowed.
     """
+    _root_axis(c)
     r_t = t_sph["r"]
     t_cart = to_cartesian(c, {**t_sph, "r": jnp.ones_like(r_t)})
     t_hat = jnp.moveaxis(t_cart, 0, -1)  # [..., d]
