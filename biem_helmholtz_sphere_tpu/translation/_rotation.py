@@ -97,35 +97,45 @@ def _coax_tables(c, n_end, _x64):
         # Y_{(n'',0)}(z^) and conj(Y_{(n'',0)}(s^)) each carry 1/sqrt(omega_child)
         omega_child = _surface_area(root.children[0].sdim + 1)
         zf = tz0 / omega_child
-        # radius-independent band matrices, EXACTLY masked to the Gaunt
-        # support l + l' >= n'' (removes the eps*|h_{n''}| pollution):
-        # U[n''] = int tz_{n''}(th) T_{l'} T_l  dmu(theta)
         t_cols = t_tab[:, jnp.asarray(b.node_job_index[nid])]  # [q, H]
-        u = jnp.einsum(
-            "qn,qa,qb->nab", tz * jnp.asarray(w)[:, None], t_cols, t_cols
-        )  # [NB, H, H] real
-        lsum = ell[:, None] + ell[None, :]
-        nb = tz.shape[1]
-        u = jnp.where(
-            jnp.asarray(lsum)[None, :, :] >= jnp.arange(nb)[:, None, None], u, 0.0
-        )
+        lsum = jnp.asarray(ell[:, None] + ell[None, :])
         mask = jnp.asarray(cs)[:, None] == jnp.asarray(cs)[None, :]
-        u = jnp.where(mask, u, 0.0)
         phase = cplx.ipow(ell[:, None].astype(np.int64) - ell[None, :])
-        out = (jnp.asarray(zf), u, phase)
+        # NOTE: the radius-independent band matrices U[n''] (264 MB at
+        # n_end=32) are built on-device inside coaxial_sr: baking them in
+        # as compile-time constants overflows the AOT compile payload.
+        out = (
+            jnp.asarray(zf),
+            jnp.asarray(w),
+            tz,
+            t_cols,
+            lsum,
+            mask,
+            phase,
+        )
     return out
 
 
 def coaxial_sr(c, r, n_end, k, kind="SR"):
-    """SR along the root axis for radii r [...]: C [..., H, H]."""
+    """SR along the root axis for radii r [...]: C [..., H, H].
+
+    The radius-independent band matrices U[n''] = int tz_{n''} T_{l'} T_l
+    (exactly masked to the Gaunt support l + l' >= n'' and the child-state
+    delta) are built on-device from the small static tables, then
+    contracted with the radius-dependent complex band coefficients.
+    """
     _root_axis(c)  # validate tree shape before touching tables
     d = c.c_ndim
-    zf, u, phase = _coax_tables(c, n_end, jax.config.jax_enable_x64)
+    zf, w, tz, t_cols, lsum, mask, phase = _coax_tables(
+        c, n_end, jax.config.jax_enable_x64
+    )
     rdt = jnp.result_type(
         r.dtype if not isinstance(r, C) else r.re.dtype, jnp.float32
     )
     zf = zf.astype(rdt)
-    u = u.astype(rdt)
+    w = w.astype(rdt)
+    tz = tz.astype(rdt)
+    t_cols = t_cols.astype(rdt)
     phase = phase.astype(rdt)
 
     n_bands = 2 * n_end - 1
@@ -133,11 +143,14 @@ def coaxial_sr(c, r, n_end, k, kind="SR"):
     jf, _, hf, _ = spherical_jh_all(d, n_bands, z)
     rad = hf if kind == "SR" else jf  # C [..., NB]
     coef = cplx.ipow(np.arange(n_bands)) * (_a_const(d) * zf) * rad  # C [..., NB]
+
+    u = jnp.einsum("qn,qa,qb->nab", tz * w[:, None], t_cols, t_cols)
+    u = jnp.where(lsum[None] >= jnp.arange(n_bands)[:, None, None], u, 0.0)
     m = C(
         jnp.einsum("...n,nab->...ab", coef.re, u),
         jnp.einsum("...n,nab->...ab", coef.im, u),
     )
-    return m * phase
+    return cplx.where(mask, m * phase, C.of(0.0))
 
 
 @lru_cache(maxsize=32)
