@@ -155,14 +155,16 @@ def coaxial_sr(c, r, n_end, k, kind="SR"):
 
 @lru_cache(maxsize=32)
 def _rot_tables(c, n_end, _x64):
-    """Quadrature rule + conj(Y) table for rotation matrices."""
+    """Quadrature rule + conj(Y) table + degree-block mask for rotations."""
     with jax.ensure_compile_time_eval():
         deg = 2 * (n_end - 1)
         sph, w = sphere_quadrature(c, deg)
         sph_j = {key: jnp.asarray(v) for key, v in sph.items()}
         y = harmonics(c, sph_j, n_end)
         s_cart = to_cartesian(c, sph_j, include_r=False)  # [d, Q]
-        out = (jnp.asarray(w), y.conj(), s_cart)
+        n_root = basis(c, n_end).n_root
+        block = jnp.asarray(n_root[:, None] == n_root[None, :])
+        out = (jnp.asarray(w), y.conj(), s_cart, block)
     return out
 
 
@@ -201,7 +203,7 @@ def rotation_matrix(c, t_hat, n_end):
     diagonal harmonic representation of the rotation, by quadrature."""
     d = c.c_ndim
     axis = _root_axis(c)
-    w, yc, s_cart = _rot_tables(c, n_end, jax.config.jax_enable_x64)
+    w, yc, s_cart, block = _rot_tables(c, n_end, jax.config.jax_enable_x64)
     rdt = jnp.result_type(t_hat.dtype, jnp.float32)
     w = w.astype(rdt)
     yc = yc.astype(rdt)
@@ -211,7 +213,13 @@ def rotation_matrix(c, t_hat, n_end):
     s_rot = jnp.einsum("...ij,iq->...jq", r, s_cart)  # [..., d, Q]
     sph_rot = from_cartesian(c, jnp.moveaxis(s_rot, -2, 0))
     y_rot = harmonics(c, sph_rot, n_end)  # C [..., Q, H]
-    return cplx.einsum("qa,...qb->...ab", yc * w[:, None], y_rot)
+    dmat = cplx.einsum("qa,...qb->...ab", yc * w[:, None], y_rot)
+    # D is exactly degree-block-diagonal; the quadrature leaves ~eps
+    # off-block residue which, sandwiched against coax blocks of
+    # magnitude |h_{n+n'}(kr)|, would leak huge-scale roundoff into
+    # low-degree entries (0.23 rel error in float32 at n_end=10).
+    # Masking restores the band scan's per-entry scale discipline.
+    return cplx.where(block, dmat, C.of(0.0))
 
 
 def sr_rotation(c, t_sph, n_end, k, kind="SR"):

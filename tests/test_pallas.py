@@ -14,8 +14,10 @@ def test_pallas_sr_matches_band_scan(rng):
     t = rng.normal(size=(3, 4)).astype(np.float32)
     t = t / np.linalg.norm(t, axis=0) * 4.0
     k = np.full(4, 1.3, np.float32)
+    # method="triplet" pins the reference to the band scan (method=None
+    # now auto-selects the rotation+coaxial fast path)
     ref = translation_matrix(
-        c, jnp.asarray(t), n_end, jnp.asarray(k), kind="SR", use_pallas=False
+        c, jnp.asarray(t), n_end, jnp.asarray(k), kind="SR", method="triplet"
     ).to_numpy()
     pal = translation_matrix(
         c, jnp.asarray(t), n_end, jnp.asarray(k), kind="SR", use_pallas=True
@@ -32,7 +34,7 @@ def test_pallas_padding_path(rng):
     t = t / np.linalg.norm(t, axis=0) * 3.0
     k = np.full(2, 0.9, np.float32)
     ref = translation_matrix(
-        c, jnp.asarray(t), n_end, jnp.asarray(k), kind="SR", use_pallas=False
+        c, jnp.asarray(t), n_end, jnp.asarray(k), kind="SR", method="triplet"
     ).to_numpy()
     pal = translation_matrix(
         c, jnp.asarray(t), n_end, jnp.asarray(k), kind="SR", use_pallas=True

@@ -34,6 +34,31 @@ def test_rotation_matches_band_scan(btype, n_end, rng):
     assert np.max(np.abs(rot - ref) / den) < 1e-9
 
 
+def test_rotation_float32_scale_discipline(rng):
+    # Regression: D's off-degree-block quadrature residue (~eps) used to
+    # couple huge coax blocks |h_{n+n'}(kr)| into low-degree entries,
+    # giving 0.23 rel error in float32.  The static degree-block mask in
+    # rotation_matrix must keep f32 at band-scan accuracy.
+    c = create_from_branching_types("ba")
+    n_end = 12
+    t = rng.normal(size=(3, 4)).astype(np.float32)
+    t = t / np.linalg.norm(t, axis=0) * 4.0
+    k = np.full(4, 1.3, np.float32)
+    ref64 = translation_matrix(
+        c,
+        jnp.asarray(t.astype(np.float64)),
+        n_end,
+        jnp.asarray(k.astype(np.float64)),
+        kind="SR",
+        method="triplet",
+    ).to_numpy()
+    rot32 = translation_matrix(
+        c, jnp.asarray(t), n_end, jnp.asarray(k), kind="SR", method="rotation"
+    ).to_numpy()
+    den = np.abs(ref64).max(axis=-1, keepdims=True) + 1e-30
+    assert np.max(np.abs(rot32 - ref64) / den) < 1e-4
+
+
 def test_rotation_axis_edge_cases(rng):
     # t exactly along +axis and -axis (degenerate Rodrigues)
     c = create_from_branching_types("ba")
