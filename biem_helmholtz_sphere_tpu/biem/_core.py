@@ -202,6 +202,107 @@ def _k_mul(k, x):
     return k * x  # works for real jnp k and C k alike
 
 
+def _radial_rows(c, n_end, radii, k, eta, alpha, beta):
+    """Per-sphere radial factors shared by dense assembly and the
+    matrix-free operator: (sing_row, reg_row, blc_col), each C [..., B, H]."""
+    d = c.c_ndim
+    b_ = basis(c, n_end)
+    n_idx = jnp.asarray(b_.n_root)
+    j, jp, h, hp = spherical_jh_all(d, n_end, _k_mul(k[..., None], radii))
+    jH = cplx.take(j, n_idx, axis=-1)
+    jpH = cplx.take(jp, n_idx, axis=-1)
+    hH = cplx.take(h, n_idx, axis=-1)
+    hpH = cplx.take(hp, n_idx, axis=-1)
+    k_b = k[..., None, None]  # [..., 1(B), 1(H)]
+    sing_row = alpha[..., None] * hH + beta[..., None] * (hpH * k_b)
+    reg_row = alpha[..., None] * jH + beta[..., None] * (jpH * k_b)
+    blc_col = blc(c, n_end, k[..., None], radii, eta[..., None])
+    return sing_row, reg_row, blc_col
+
+
+def _matfree_operator(c, n_end, centers_np, radii, k, eta, alpha, beta, method):
+    """Matrix-free system operator for concrete geometry: (mv, diag).
+
+    The dense block matrix (see _assemble) is never formed.  Pairs are
+    grouped by their deduplicated offset vector; each distinct offset's
+    (S|R) acts on all its gathered pair vectors as ONE [P, H] x [H, H]
+    matmul, and mirror blocks ride the rank-1 parity
+    SR(-t) = pm pm^T .* SR(t), pm_h = (-1)^{n_h}.  Per-matvec HBM
+    traffic is NO/B^2 of the dense matrix read (5x less for a 4x4
+    lattice), and peak memory drops from B^2 H^2 to NO H^2 — which is
+    what lets n_end=32 lattices with B >> 16 fit one chip.
+
+    mv maps C [..., B*H] -> C [..., B*H]; diag is C [..., B*H].
+    """
+    b_ = basis(c, n_end)
+    h_num = b_.num
+    n_balls = centers_np.shape[0]
+    sing_row, reg_row, blc_col = _radial_rows(c, n_end, radii, k, eta, alpha, beta)
+    diag = sing_row * blc_col  # C [..., B, H]
+
+    bu, bv = np.triu_indices(n_balls, k=1)
+    t_np = np.round(centers_np[bu] - centers_np[bv], 12)
+    uniq, inv = np.unique(t_np, axis=0, return_inverse=True)
+    no = len(uniq)
+    # group triu pairs by offset id; pad each group to the max count
+    groups = [np.nonzero(inv == o)[0] for o in range(no)]
+    p_max = max(len(g) for g in groups)
+    up_src = np.zeros((no, p_max), np.int32)  # b' (gather z)
+    up_dst = np.zeros((no, p_max), np.int32)  # b  (scatter y)
+    valid = np.zeros((no, p_max), bool)
+    for o, g in enumerate(groups):
+        up_src[o, : len(g)] = bv[g]
+        up_dst[o, : len(g)] = bu[g]
+        valid[o, : len(g)] = True
+    dn_src, dn_dst = up_dst, up_src  # mirror pairs swap roles
+    pm_np = (-1.0) ** (b_.n_root.astype(np.int64) % 2)
+
+    sr = translation_matrix(
+        c, jnp.moveaxis(jnp.asarray(uniq), -1, 0), n_end, k[..., None],
+        kind="SR", method=method,
+    )  # C [..., NO, H, H]
+    rdt = blc_col.dtype
+    sr = sr.astype(rdt)
+    pm = jnp.asarray(pm_np, dtype=rdt)
+    mask = jnp.asarray(
+        np.concatenate([valid, valid], axis=1), dtype=rdt
+    )[..., None]  # [NO, 2P, 1]
+    # gathers read from a stacked [2B, H] copy [z; z*pm]: up entries from
+    # the plain half, dn entries from the pm-scaled half
+    src = jnp.asarray(
+        np.concatenate([up_src, dn_src + n_balls], axis=1).ravel()
+    )
+    dst_flat = jnp.asarray(np.concatenate([up_dst, dn_dst], axis=1).ravel())
+    batch = jnp.broadcast_shapes(
+        k.shape, eta.shape, radii.shape[:-1], diag.shape[:-2]
+    )
+
+    def mv(x_flat):
+        x = x_flat.reshape(x_flat.shape[:-1] + (n_balls, h_num))
+        z = blc_col * x  # C [..., B, H]
+        zs = cplx.stack([z, z * pm], axis=-3)  # [..., 2(sign), B, H]
+        w = zs.reshape(zs.shape[:-3] + (2 * n_balls, h_num))[
+            (Ellipsis, src, slice(None))
+        ]
+        w = w.reshape(w.shape[:-2] + (no, 2 * p_max, h_num)) * mask
+        y = cplx.einsum("...ohg,...opg->...oph", sr, w)
+        # mirror half: the row parity factor pm_h
+        y_up = y[..., :, :p_max, :]
+        y_dn = y[..., :, p_max:, :] * pm
+        y_all = cplx.concatenate([y_up, y_dn], axis=-2)
+        y_flat = y_all.reshape(y_all.shape[:-3] + (2 * no * p_max, h_num))
+        cpl = C.zeros(batch + (n_balls, h_num), dtype=rdt).at_add(
+            (Ellipsis, dst_flat, slice(None)), y_flat
+        )
+        out = diag * x + reg_row * cpl
+        return out.reshape(out.shape[:-2] + (n_balls * h_num,))
+
+    diag_flat = cplx.broadcast_to(diag, batch + (n_balls, h_num)).reshape(
+        batch + (n_balls * h_num,)
+    )
+    return mv, diag_flat
+
+
 def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method):
     """Dense block matrix C [..., B, H, B', H'] (reference: _biem.py:694-792).
 
@@ -211,22 +312,14 @@ def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method):
     pairs to bound the [chunk, Q, H] contraction intermediates; radial
     row/column factors are fused in before the full tensor is formed.
     """
-    d = c.c_ndim
     b_ = basis(c, n_end)
-    n_idx = jnp.asarray(b_.n_root)
     n_balls = radii.shape[-1]
     h_num = b_.num
 
-    # per-sphere radial tables
-    j, jp, h, hp = spherical_jh_all(d, n_end, _k_mul(k[..., None], radii))
-    jH = cplx.take(j, n_idx, axis=-1)
-    jpH = cplx.take(jp, n_idx, axis=-1)
-    hH = cplx.take(h, n_idx, axis=-1)
-    hpH = cplx.take(hp, n_idx, axis=-1)
-    k_b = k[..., None, None]  # [..., 1(B), 1(H)]
-    sing_row = alpha[..., None] * hH + beta[..., None] * (hpH * k_b)  # [..., B, H]
-    reg_row = alpha[..., None] * jH + beta[..., None] * (jpH * k_b)
-    blc_col = blc(c, n_end, k[..., None], radii, eta[..., None])  # [..., B', H']
+    # per-sphere radial tables: C [..., B, H] each
+    sing_row, reg_row, blc_col = _radial_rows(
+        c, n_end, radii, k, eta, alpha, beta
+    )
 
     batch = jnp.broadcast_shapes(
         centers.shape[:-2], k.shape, eta.shape, sing_row.shape[:-2]
@@ -398,36 +491,70 @@ def biem(
         density = f_exp / sd
         matrix = None
     else:
-        matrix = _assemble(
-            c,
-            n_end,
-            centers,
-            radii,
-            k,
-            eta,
-            alpha,
-            beta,
-            translational_coefficients_method,
+        h_num = basis(c, n_end).num
+        n_sys = n_balls * h_num
+        use_gmres = solver == "gmres" or (solver == "auto" and n_sys > 6144)
+        # matrix-free path: concrete single-instance geometry + GMRES +
+        # nothing forcing the dense matrix to exist.  Never forms the
+        # B^2 H^2 block matrix; the coupling matvec reads only the
+        # deduplicated per-offset (S|R) set (~5x less HBM traffic per
+        # iteration on a 4x4 lattice, and B is no longer memory-capped).
+        matfree = (
+            use_gmres
+            and f_exp is not None
+            and not force_matrix
+            and n_balls > 1
+            and _is_concrete(centers)
+            and centers.ndim == 2
         )
-        if f_exp is None:
-            density = None
-        else:
-            h_num = matrix.shape[-1]
-            batch = jnp.broadcast_shapes(matrix.shape[:-4], f_exp.shape[:-2])
-            m2 = cplx.broadcast_to(matrix, batch + matrix.shape[-4:]).reshape(
-                batch + (n_balls * h_num, n_balls * h_num)
+        if matfree:
+            mv, diag = _matfree_operator(
+                c,
+                n_end,
+                np.asarray(centers),
+                radii,
+                k,
+                eta,
+                alpha,
+                beta,
+                translational_coefficients_method,
             )
+            batch = diag.shape[:-1]
             f2 = cplx.broadcast_to(f_exp, batch + f_exp.shape[-2:]).reshape(
-                batch + (n_balls * h_num,)
+                batch + (n_sys,)
             )
-            n_sys = n_balls * h_num
-            use_gmres = solver == "gmres" or (solver == "auto" and n_sys > 6144)
-            if use_gmres:
-                density = cplx.gmres_solve(m2, f2).reshape(
-                    batch + (n_balls, h_num)
-                )
+            density = cplx.gmres_solve_op(mv, diag, f2).reshape(
+                batch + (n_balls, h_num)
+            )
+            matrix = None
+        else:
+            matrix = _assemble(
+                c,
+                n_end,
+                centers,
+                radii,
+                k,
+                eta,
+                alpha,
+                beta,
+                translational_coefficients_method,
+            )
+            if f_exp is None:
+                density = None
             else:
-                density = cplx.solve(m2, f2).reshape(batch + (n_balls, h_num))
+                batch = jnp.broadcast_shapes(matrix.shape[:-4], f_exp.shape[:-2])
+                m2 = cplx.broadcast_to(matrix, batch + matrix.shape[-4:]).reshape(
+                    batch + (n_sys, n_sys)
+                )
+                f2 = cplx.broadcast_to(f_exp, batch + f_exp.shape[-2:]).reshape(
+                    batch + (n_sys,)
+                )
+                if use_gmres:
+                    density = cplx.gmres_solve(m2, f2).reshape(
+                        batch + (n_balls, h_num)
+                    )
+                else:
+                    density = cplx.solve(m2, f2).reshape(batch + (n_balls, h_num))
 
     if uin is None:
         uin_wrapped = None

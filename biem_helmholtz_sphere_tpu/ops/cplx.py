@@ -205,6 +205,11 @@ class C:
         re, im = jnp.broadcast_arrays(self.re, self.im)
         return C(re.at[idx].set(val.re), im.at[idx].set(val.im))
 
+    def at_add(self, idx, val):
+        val = C.of(val)
+        re, im = jnp.broadcast_arrays(self.re, self.im)
+        return C(re.at[idx].add(val.re), im.at[idx].add(val.im))
+
     def block_until_ready(self):
         self.re.block_until_ready()
         self.im.block_until_ready()
@@ -364,36 +369,31 @@ def solve(a, b):
     return C(x[..., :n], x[..., n:])
 
 
-def gmres_solve(a, b, tol=None, restart=48, maxiter=400):
-    """Solve A x = b by Jacobi-preconditioned GMRES (C operands).
+def gmres_solve_op(mv, diag, b, tol=None, restart=48, maxiter=60):
+    """Solve A x = b by Jacobi-preconditioned GMRES for a C-linear
+    operator given as a callable `mv` (C -> C) with diagonal `diag`.
 
     The BIEM combined-field system is second kind (diagonal blocks
     dominate for separated spheres), so GMRES converges in tens of
-    iterations; each iteration is one dense matvec — MXU work with no
-    LU at all.  This also sidesteps the XLA TPU LuDecompositionBlock
-    VMEM limit (the block-LU custom call overflows scoped vmem for
-    N >~ 18k rows).  GMRES runs in the real pair space (the jax pytree
-    inner product over (re, im) is the real embedding of the complex
-    inner product), which is a valid Krylov method for the C-linear
-    operator.
+    iterations; each iteration is one matvec — MXU work with no LU at
+    all.  This also sidesteps the XLA TPU LuDecompositionBlock VMEM
+    limit (the block-LU custom call overflows scoped vmem for N >~ 18k
+    rows).  GMRES runs in the real pair space (the jax pytree inner
+    product over (re, im) is the real embedding of the complex inner
+    product), which is a valid Krylov method for the C-linear operator.
     """
     import jax.scipy.sparse.linalg as spla
 
-    a = C.of(a)
     b = C.of(b)
     if tol is None:
-        tol = 1e-6 if jnp.finfo(b.re.dtype).bits == 32 else 1e-11
-
-    d = C(
-        jnp.diagonal(a.re, axis1=-2, axis2=-1),
-        jnp.diagonal(a.im, axis1=-2, axis2=-1),
-    )
-
-    def mv(x):
-        return einsum("...ij,...j->...i", a, x)
+        # float32 floor: Jacobi-preconditioned restarted GMRES stalls
+        # around 3e-6 relative residual at bench scale (BENCH_NOTES.md);
+        # a tol below the floor burns every restart cycle for nothing
+        # (the batched mode only checks convergence between cycles).
+        tol = 1e-5 if jnp.finfo(b.re.dtype).bits == 32 else 1e-11
 
     def precond(x):
-        return x / d
+        return x / diag
 
     x, _ = spla.gmres(
         mv,
@@ -406,6 +406,22 @@ def gmres_solve(a, b, tol=None, restart=48, maxiter=400):
         solve_method="batched",
     )
     return x
+
+
+def gmres_solve(a, b, tol=None, restart=48, maxiter=60):
+    """GMRES on an explicitly assembled dense C matrix (see
+    gmres_solve_op for the method)."""
+    a = C.of(a)
+
+    d = C(
+        jnp.diagonal(a.re, axis1=-2, axis2=-1),
+        jnp.diagonal(a.im, axis1=-2, axis2=-1),
+    )
+
+    def mv(x):
+        return einsum("...ij,...j->...i", a, x)
+
+    return gmres_solve_op(mv, d, b, tol=tol, restart=restart, maxiter=maxiter)
 
 
 def to_numpy(x):

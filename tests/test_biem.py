@@ -270,3 +270,37 @@ def test_result_is_pytree():
     )
     assert isinstance(calc2, BIEMResultCalculator)
     assert calc2.n_end == calc.n_end
+
+
+def test_matfree_gmres_matches_direct():
+    # Matrix-free offset-grouped GMRES (solver="gmres", concrete 2D
+    # centers, no force_matrix) vs the dense direct solve, on a lattice
+    # with duplicated offsets (exercises dedup grouping + the rank-1
+    # parity mirror) under a Robin BC.
+    c = create_from_branching_types("ba")
+    g = (np.arange(2) - 0.5) * 4.0
+    xx, yy = np.meshgrid(g, g)
+    centers = jnp.asarray(np.stack([xx.ravel(), yy.ravel(), np.zeros(4)], axis=1))
+    radii = jnp.ones(4)
+    k = jnp.asarray(1.3)
+    uin, uin_grad = plane_wave(k=k, direction=jnp.asarray([1.0, 0.0, 0.0]))
+    kw = dict(
+        centers=centers, radii=radii, k=k, n_end=8,
+        uin=uin, uin_grad=uin_grad, alpha=1.0, beta=0.5, eta=1.0,
+    )
+    cal_d = biem(c, **kw, solver="direct")
+    cal_m = biem(c, **kw, solver="gmres")
+    assert cal_m.matrix is None  # the dense matrix was never formed
+    dd = tonp(cal_d.density)
+    dm = tonp(cal_m.density)
+    assert np.abs(dm - dd).max() / np.abs(dd).max() < 1e-10
+    # irregular geometry (no duplicate offsets; P = 1 groups)
+    rng = np.random.default_rng(3)
+    cen2 = jnp.asarray(rng.normal(size=(3, 3)) * np.array([6.0, 6.0, 3.0]))
+    kw2 = dict(
+        centers=cen2, radii=jnp.full(3, 0.7), k=k, n_end=8,
+        uin=uin, alpha=1.0, beta=0.0, eta=1.0,
+    )
+    d_d = tonp(biem(c, **kw2, solver="direct").density)
+    d_m = tonp(biem(c, **kw2, solver="gmres").density)
+    assert np.abs(d_m - d_d).max() / np.abs(d_d).max() < 1e-10

@@ -107,7 +107,9 @@ def test_large_n_end_stability():
     h = tonp(spherical_jh_all(3, n_end, np.array(rt))[2])
     col = a_d / np.sqrt(omega) * (-1.0) ** b.n_root * h[b.n_root] * np.conj(yt)
     h0 = int(np.where(b.n_root == 0)[0][0])
-    np.testing.assert_allclose(sr[:, h0], col, rtol=1e-10)
+    # rtol accommodates the rotation+coaxial default path (~3.5e-10 at
+    # n_end=24 in float64; the band scan sits below 1e-10)
+    np.testing.assert_allclose(sr[:, h0], col, rtol=1e-9)
 
 
 def test_method_constraints():
