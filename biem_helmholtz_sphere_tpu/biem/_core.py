@@ -263,38 +263,49 @@ def _matfree_operator(c, n_end, centers_np, radii, k, eta, alpha, beta, method):
     )  # C [..., NO, H, H]
     rdt = blc_col.dtype
     sr = sr.astype(rdt)
-    pm = jnp.asarray(pm_np, dtype=rdt)
-    mask = jnp.asarray(
-        np.concatenate([valid, valid], axis=1), dtype=rdt
-    )[..., None]  # [NO, 2P, 1]
-    # gathers read from a stacked [2B, H] copy [z; z*pm]: up entries from
-    # the plain half, dn entries from the pm-scaled half
-    src = jnp.asarray(
-        np.concatenate([up_src, dn_src + n_balls], axis=1).ravel()
+    # Materialization fence: pin the tables before the GMRES loop
+    # consumes them so the per-offset (S|R) build (3 batched [NO,H,H]
+    # matmuls via the rotation path) cannot be rematerialized per
+    # iteration.
+    sr, blc_s, reg_s, diag = jax.lax.optimization_barrier(
+        (sr, blc_col, reg_row, diag)
     )
-    dst_flat = jnp.asarray(np.concatenate([up_dst, dn_dst], axis=1).ravel())
+    pm = jnp.asarray(pm_np, dtype=rdt)
+    # Pair routing as 0/1 one-hot matmuls instead of gather +
+    # duplicate-index scatter-add: MXU work with exact products, no
+    # serialization on colliding scatter indices.  Flat lane order:
+    # i = o*2P + p, first P lanes the b<b' pairs of offset o, next P
+    # their mirrors.  gth routes [z; z*pm] rows into lanes (invalid
+    # lanes zero); sct accumulates lane results into destination balls.
+    src = np.concatenate([up_src, dn_src + n_balls], axis=1).ravel()
+    dst_flat = np.concatenate([up_dst, dn_dst], axis=1).ravel()
+    valid_flat = np.concatenate([valid, valid], axis=1).ravel()
+    n_lanes = 2 * no * p_max
+    gth_np = np.zeros((n_lanes, 2 * n_balls), dtype=rdt)
+    gth_np[np.arange(n_lanes), src] = valid_flat.astype(rdt)
+    sct_np = np.zeros((n_balls, n_lanes), dtype=rdt)
+    sct_np[dst_flat, np.arange(n_lanes)] = valid_flat.astype(rdt)
+    gth = jnp.asarray(gth_np)
+    sct = jnp.asarray(sct_np)
     batch = jnp.broadcast_shapes(
         k.shape, eta.shape, radii.shape[:-1], diag.shape[:-2]
     )
 
     def mv(x_flat):
         x = x_flat.reshape(x_flat.shape[:-1] + (n_balls, h_num))
-        z = blc_col * x  # C [..., B, H]
-        zs = cplx.stack([z, z * pm], axis=-3)  # [..., 2(sign), B, H]
-        w = zs.reshape(zs.shape[:-3] + (2 * n_balls, h_num))[
-            (Ellipsis, src, slice(None))
-        ]
-        w = w.reshape(w.shape[:-2] + (no, 2 * p_max, h_num)) * mask
+        z = blc_s * x  # C [..., B, H]
+        zs = cplx.concatenate([z, z * pm], axis=-2)  # [..., 2B, H]
+        w = cplx.einsum("pq,...qh->...ph", gth, zs)  # [..., 2*NO*P, H]
+        w = w.reshape(w.shape[:-2] + (no, 2 * p_max, h_num))
         y = cplx.einsum("...ohg,...opg->...oph", sr, w)
         # mirror half: the row parity factor pm_h
         y_up = y[..., :, :p_max, :]
         y_dn = y[..., :, p_max:, :] * pm
         y_all = cplx.concatenate([y_up, y_dn], axis=-2)
-        y_flat = y_all.reshape(y_all.shape[:-3] + (2 * no * p_max, h_num))
-        cpl = C.zeros(batch + (n_balls, h_num), dtype=rdt).at_add(
-            (Ellipsis, dst_flat, slice(None)), y_flat
-        )
-        out = diag * x + reg_row * cpl
+        y_flat = y_all.reshape(y_all.shape[:-3] + (n_lanes, h_num))
+        cpl = cplx.einsum("bp,...ph->...bh", sct, y_flat)
+        out = diag * x + reg_s * cpl
+        out = cplx.broadcast_to(out, batch + (n_balls, h_num))
         return out.reshape(out.shape[:-2] + (n_balls * h_num,))
 
     diag_flat = cplx.broadcast_to(diag, batch + (n_balls, h_num)).reshape(
@@ -438,12 +449,18 @@ def biem(
     jittable for fixed (c, n_end, B); leading batch axes broadcast.
 
     solver: "direct" (batched LU via the real block embedding),
-    "gmres" (Jacobi-preconditioned Krylov — the second-kind structure of
-    the combined-field system makes this converge in tens of matvecs;
-    required on TPU for B*H >~ 8k where the XLA block-LU overflows
-    scoped vmem), or "auto" (direct up to B*H = 6144, gmres beyond).
+    "gmres" (Jacobi-preconditioned Krylov on the assembled matrix — the
+    second-kind structure of the combined-field system makes this
+    converge in tens of matvecs; required on TPU for B*H >~ 8k where the
+    XLA block-LU overflows scoped vmem), "matfree" (GMRES whose matvec
+    routes per-offset (S|R) blocks with one-hot matmuls; the B^2 H^2
+    matrix is never formed, so B is bounded by NO*H^2 not B^2*H^2 — use
+    when the dense matrix exceeds HBM; per-iteration it underutilizes
+    the MXU versus one dense matvec, 0.96 s vs 0.56 s per k-point at the
+    B=16 n_end=32 bench), or "auto" (direct up to B*H = 6144, then
+    dense-GMRES while the matrix fits ~6 GB, then matfree).
     """
-    if solver not in ("auto", "direct", "gmres"):
+    if solver not in ("auto", "direct", "gmres", "matfree"):
         raise ValueError(f"unknown solver {solver!r}")
     centers, radii, k, eta, alpha, beta = _check_biem_inputs(
         c, centers, radii, k, eta, alpha, beta
@@ -493,14 +510,24 @@ def biem(
     else:
         h_num = basis(c, n_end).num
         n_sys = n_balls * h_num
-        use_gmres = solver == "gmres" or (solver == "auto" and n_sys > 6144)
-        # matrix-free path: concrete single-instance geometry + GMRES +
-        # nothing forcing the dense matrix to exist.  Never forms the
-        # B^2 H^2 block matrix; the coupling matvec reads only the
-        # deduplicated per-offset (S|R) set (~5x less HBM traffic per
-        # iteration on a 4x4 lattice, and B is no longer memory-capped).
+        # auto policy: LU while the real block embedding fits the TPU
+        # block-LU vmem budget; dense-matrix GMRES while the B^2 H^2
+        # matrix fits comfortably in HBM (one big matvec per iteration
+        # is the fastest MXU shape); matrix-free GMRES beyond that (no
+        # B^2 scaling in memory, at ~1.7x per-k-point cost at B=16).
+        dense_bytes = 8 * n_sys * n_sys  # f32 real-pair
+        use_matfree = solver == "matfree" or (
+            solver == "auto" and dense_bytes > 6e9
+        )
+        use_gmres = (
+            use_matfree
+            or solver == "gmres"
+            or (solver == "auto" and n_sys > 6144)
+        )
+        # the matfree matvec additionally needs concrete single-instance
+        # geometry and an rhs (nothing forcing the dense matrix to exist)
         matfree = (
-            use_gmres
+            use_matfree
             and f_exp is not None
             and not force_matrix
             and n_balls > 1

@@ -264,7 +264,7 @@ def translation_matrix(
     if use_rotation:
         from ._rotation import sr_rotation
 
-        return sr_rotation(c, t_sph, n_end, k, kind=kind)
+        return sr_rotation(c, t_sph, n_end, k, kind=kind, t_cart=t_cart)
 
     if kind == "RR":
         # bounded plane-wave kernel: single dense contraction, exact

@@ -222,15 +222,27 @@ def rotation_matrix(c, t_hat, n_end):
     return cplx.where(block, dmat, C.of(0.0))
 
 
-def sr_rotation(c, t_sph, n_end, k, kind="SR"):
+def sr_rotation(c, t_sph, n_end, k, kind="SR", t_cart=None):
     """(S|R) via rotation + coaxial: C [..., H, H].
 
     t described by its spherical mapping (with "r"); batch axes allowed.
+    When the cartesian offsets are available, pass them as `t_cart`
+    [d, ...]: r and t_hat are then derived by plain norm/divide instead
+    of the angle roundtrip to_cartesian(from_cartesian(t)).  The fused
+    trig chain of that roundtrip miscompiles on the axon TPU backend
+    when batched (rotation matrices off by O(1) at 24 offsets while the
+    same values as program inputs are exact — tools/rmat_ctx_probe.py),
+    and the norm/divide form is cheaper anyway.
     """
     _root_axis(c)
-    r_t = t_sph["r"]
-    t_cart = to_cartesian(c, {**t_sph, "r": jnp.ones_like(r_t)})
-    t_hat = jnp.moveaxis(t_cart, 0, -1)  # [..., d]
+    if t_cart is not None:
+        t_vec = jnp.moveaxis(jnp.asarray(t_cart), 0, -1)  # [..., d]
+        r_t = jnp.linalg.norm(t_vec, axis=-1)
+        t_hat = t_vec / jnp.where(r_t > 0, r_t, 1.0)[..., None]
+    else:
+        r_t = t_sph["r"]
+        t_cart_ = to_cartesian(c, {**t_sph, "r": jnp.ones_like(r_t)})
+        t_hat = jnp.moveaxis(t_cart_, 0, -1)  # [..., d]
     coax = coaxial_sr(c, r_t, n_end, k, kind=kind)  # [..., H, H]
     rot = rotation_matrix(c, t_hat, n_end)  # [..., H, H]
     # SR(t) = D Coax D^H  (validated against the band scan to ~1e-12)

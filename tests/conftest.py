@@ -28,6 +28,12 @@ def cdtype(request):
     return np.dtype(request.param)
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(1234)
+@pytest.fixture()
+def rng(request):
+    # Function-scoped and seeded per test id: draws are deterministic AND
+    # independent of execution order (a session-scoped generator made
+    # marginal-tolerance tests fail depending on which file ran first).
+    import zlib
+
+    seed = zlib.crc32(request.node.nodeid.encode())  # stable across runs
+    return np.random.default_rng(seed)

@@ -273,7 +273,7 @@ def test_result_is_pytree():
 
 
 def test_matfree_gmres_matches_direct():
-    # Matrix-free offset-grouped GMRES (solver="gmres", concrete 2D
+    # Matrix-free offset-grouped GMRES (solver="matfree", concrete 2D
     # centers, no force_matrix) vs the dense direct solve, on a lattice
     # with duplicated offsets (exercises dedup grouping + the rank-1
     # parity mirror) under a Robin BC.
@@ -289,7 +289,7 @@ def test_matfree_gmres_matches_direct():
         uin=uin, uin_grad=uin_grad, alpha=1.0, beta=0.5, eta=1.0,
     )
     cal_d = biem(c, **kw, solver="direct")
-    cal_m = biem(c, **kw, solver="gmres")
+    cal_m = biem(c, **kw, solver="matfree")
     assert cal_m.matrix is None  # the dense matrix was never formed
     dd = tonp(cal_d.density)
     dm = tonp(cal_m.density)
@@ -302,5 +302,5 @@ def test_matfree_gmres_matches_direct():
         uin=uin, alpha=1.0, beta=0.0, eta=1.0,
     )
     d_d = tonp(biem(c, **kw2, solver="direct").density)
-    d_m = tonp(biem(c, **kw2, solver="gmres").density)
+    d_m = tonp(biem(c, **kw2, solver="matfree").density)
     assert np.abs(d_m - d_d).max() / np.abs(d_d).max() < 1e-10
