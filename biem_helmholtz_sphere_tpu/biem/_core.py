@@ -220,6 +220,46 @@ def _radial_rows(c, n_end, radii, k, eta, alpha, beta):
     return sing_row, reg_row, blc_col
 
 
+def _pair_routing(centers_np):
+    """Host-side pair routing tables for the matrix-free matvec.
+
+    Deduplicates the b<b' offset vectors and lays the pairs out in flat
+    lanes i = o*2P + p: the first P lanes of each offset hold its b<b'
+    pairs, the next P their mirrors.  Returns (uniq, gth, sct, p_max)
+    where uniq is the [NO, d] distinct-offset table, gth [2*NO*P, 2B]
+    routes the stacked [z; z*pm] rows into lanes (invalid lanes all
+    zero), and sct [B, 2*NO*P] accumulates lane results into their
+    destination balls.  Routing as 0/1 one-hot matmuls instead of
+    gather + duplicate-index scatter-add keeps the work on the MXU with
+    exact products and no serialization on colliding scatter indices.
+    """
+    n_balls = centers_np.shape[0]
+    bu, bv = np.triu_indices(n_balls, k=1)
+    t_np = np.round(centers_np[bu] - centers_np[bv], 12)
+    uniq, inv = np.unique(t_np, axis=0, return_inverse=True)
+    no = len(uniq)
+    # group triu pairs by offset id; pad each group to the max count
+    groups = [np.nonzero(inv == o)[0] for o in range(no)]
+    p_max = max(len(g) for g in groups)
+    up_src = np.zeros((no, p_max), np.int32)  # b' (gather z)
+    up_dst = np.zeros((no, p_max), np.int32)  # b  (scatter y)
+    valid = np.zeros((no, p_max), bool)
+    for o, g in enumerate(groups):
+        up_src[o, : len(g)] = bv[g]
+        up_dst[o, : len(g)] = bu[g]
+        valid[o, : len(g)] = True
+    dn_src, dn_dst = up_dst, up_src  # mirror pairs swap roles
+    src = np.concatenate([up_src, dn_src + n_balls], axis=1).ravel()
+    dst_flat = np.concatenate([up_dst, dn_dst], axis=1).ravel()
+    valid_flat = np.concatenate([valid, valid], axis=1).ravel()
+    n_lanes = 2 * no * p_max
+    gth = np.zeros((n_lanes, 2 * n_balls), np.float64)
+    gth[np.arange(n_lanes), src] = valid_flat
+    sct = np.zeros((n_balls, n_lanes), np.float64)
+    sct[dst_flat, np.arange(n_lanes)] = valid_flat
+    return uniq, gth, sct, p_max
+
+
 def _matfree_operator(c, n_end, centers_np, radii, k, eta, alpha, beta, method):
     """Matrix-free system operator for concrete geometry: (mv, diag).
 
@@ -240,21 +280,8 @@ def _matfree_operator(c, n_end, centers_np, radii, k, eta, alpha, beta, method):
     sing_row, reg_row, blc_col = _radial_rows(c, n_end, radii, k, eta, alpha, beta)
     diag = sing_row * blc_col  # C [..., B, H]
 
-    bu, bv = np.triu_indices(n_balls, k=1)
-    t_np = np.round(centers_np[bu] - centers_np[bv], 12)
-    uniq, inv = np.unique(t_np, axis=0, return_inverse=True)
+    uniq, gth_np, sct_np, p_max = _pair_routing(centers_np)
     no = len(uniq)
-    # group triu pairs by offset id; pad each group to the max count
-    groups = [np.nonzero(inv == o)[0] for o in range(no)]
-    p_max = max(len(g) for g in groups)
-    up_src = np.zeros((no, p_max), np.int32)  # b' (gather z)
-    up_dst = np.zeros((no, p_max), np.int32)  # b  (scatter y)
-    valid = np.zeros((no, p_max), bool)
-    for o, g in enumerate(groups):
-        up_src[o, : len(g)] = bv[g]
-        up_dst[o, : len(g)] = bu[g]
-        valid[o, : len(g)] = True
-    dn_src, dn_dst = up_dst, up_src  # mirror pairs swap roles
     pm_np = (-1.0) ** (b_.n_root.astype(np.int64) % 2)
 
     sr = translation_matrix(
@@ -271,22 +298,9 @@ def _matfree_operator(c, n_end, centers_np, radii, k, eta, alpha, beta, method):
         (sr, blc_col, reg_row, diag)
     )
     pm = jnp.asarray(pm_np, dtype=rdt)
-    # Pair routing as 0/1 one-hot matmuls instead of gather +
-    # duplicate-index scatter-add: MXU work with exact products, no
-    # serialization on colliding scatter indices.  Flat lane order:
-    # i = o*2P + p, first P lanes the b<b' pairs of offset o, next P
-    # their mirrors.  gth routes [z; z*pm] rows into lanes (invalid
-    # lanes zero); sct accumulates lane results into destination balls.
-    src = np.concatenate([up_src, dn_src + n_balls], axis=1).ravel()
-    dst_flat = np.concatenate([up_dst, dn_dst], axis=1).ravel()
-    valid_flat = np.concatenate([valid, valid], axis=1).ravel()
     n_lanes = 2 * no * p_max
-    gth_np = np.zeros((n_lanes, 2 * n_balls), dtype=rdt)
-    gth_np[np.arange(n_lanes), src] = valid_flat.astype(rdt)
-    sct_np = np.zeros((n_balls, n_lanes), dtype=rdt)
-    sct_np[dst_flat, np.arange(n_lanes)] = valid_flat.astype(rdt)
-    gth = jnp.asarray(gth_np)
-    sct = jnp.asarray(sct_np)
+    gth = jnp.asarray(gth_np.astype(rdt))
+    sct = jnp.asarray(sct_np.astype(rdt))
     batch = jnp.broadcast_shapes(
         k.shape, eta.shape, radii.shape[:-1], diag.shape[:-2]
     )
