@@ -219,9 +219,11 @@ def translation_matrix(
     kind : "SR" (singular-around-regular; the BIEM inter-sphere coupling)
         or "RR"
     n_end_add : input degree cutoff (default n_end) -> H_in harmonics
-    method : None | "triplet" | "plane_wave" | "gumerov" (API parity with
-        reference _biem.py:569-574; all exact here). "plane_wave" is only
-        valid for kind="RR".
+    method : None | "triplet" | "plane_wave" | "gumerov" | "rotation" (API
+        parity with reference _biem.py:569-574; all exact here).
+        "plane_wave" is only valid for kind="RR"; "gumerov" selects the
+        Gumerov-Duraiswami recurrence ladders (_gumerov.py) and, as in
+        the reference, is only available for the 3D "ba" tree.
 
     Convention: S_h(y + t) = sum_{h'} M[..., h', h] R_{h'}(y).
     """
@@ -249,6 +251,16 @@ def translation_matrix(
         import os
 
         use_pallas = os.environ.get("BHS_TPU_PALLAS", "0") == "1"
+
+    if method == "gumerov":
+        from ._gumerov import _require_gumerov_tree, sr_gumerov
+
+        _require_gumerov_tree(c)
+        if n_in != n_end:
+            raise ValueError(
+                'method="gumerov" requires n_end_add == n_end'
+            )
+        return sr_gumerov(c, t_sph, n_end, k, kind=kind, t_cart=t_cart)
 
     if c.c_ndim == 2:
         return _graf_2d(c, t_sph, n_end, n_in, k, kind)

@@ -121,10 +121,50 @@ def test_method_constraints():
         translation_matrix(c, t, 4, np.array([1.0]), kind="XX")
     with pytest.raises(ValueError):
         translation_matrix(c, t, 4, np.array([1.0]), method="bogus")
-    # gumerov maps to the exact banded algorithm
+    # gumerov (recurrence ladders) agrees with the quadrature algorithms
     a = tonp(translation_matrix(c, t, 4, np.array([1.0]), method="gumerov"))
     b_ = tonp(translation_matrix(c, t, 4, np.array([1.0]), method="triplet"))
-    np.testing.assert_allclose(a, b_, rtol=1e-12)
+    np.testing.assert_allclose(a, b_, rtol=1e-12, atol=np.abs(b_).max() * 1e-12)
+    # and, like the reference (_biem.py:569-572), is restricted to "ba"
+    for bad in ("a", "caa"):
+        cb = create_from_branching_types(bad)
+        tb = jnp.asarray(np.zeros((cb.c_ndim, 1)) + 2.0)
+        with pytest.raises(ValueError):
+            translation_matrix(cb, tb, 4, np.array([1.0]), method="gumerov")
+    with pytest.raises(ValueError):
+        translation_matrix(
+            c, t, 4, np.array([1.0]), method="gumerov", n_end_add=3
+        )
+
+
+@pytest.mark.parametrize("kind", ["SR", "RR"])
+@pytest.mark.parametrize("n_end", [6, 16])
+def test_gumerov_coaxial_matches_quadrature(kind, n_end):
+    # The G-D recurrence ladders (translation/_gumerov.py) against the
+    # quadrature + band-masked coaxial factor, along-axis translation.
+    from biem_helmholtz_sphere_tpu.translation import coaxial_sr, gd_coaxial
+
+    c = create_from_branching_types("ba")
+    r = jnp.asarray(np.array([1.7, 6.0]))
+    k = jnp.asarray(1.1)
+    a = tonp(gd_coaxial(c, r, n_end, k, kind=kind))
+    b_ = tonp(coaxial_sr(c, r, n_end, k, kind=kind))
+    np.testing.assert_allclose(a, b_, atol=np.abs(b_).max() * 1e-11)
+
+
+def test_gumerov_full_matches_rotation(rng):
+    from biem_helmholtz_sphere_tpu.translation import sr_gumerov, sr_rotation
+
+    c = create_from_branching_types("ba")
+    n_end = 8
+    t = rng.normal(size=(3, 3))
+    t *= 4.0 / np.linalg.norm(t, axis=0, keepdims=True)
+    tj = jnp.asarray(t)
+    k = jnp.asarray(1.3)
+    sph = from_cartesian(c, tj)
+    a = tonp(sr_gumerov(c, sph, n_end, k, t_cart=tj))
+    b_ = tonp(sr_rotation(c, sph, n_end, k, t_cart=tj))
+    np.testing.assert_allclose(a, b_, atol=np.abs(b_).max() * 1e-11)
 
 
 def test_rectangular_n_end_add():
