@@ -11,6 +11,12 @@ ensembles) and HPC array jobs.  The TPU-native equivalents here:
   *  `sharded_uscat` — evaluate the scattered field with the POINTS axis
      sharded and the solved density replicated (the sequence-parallel
      analogue for large near-field grids)
+  *  `sharded_solve` — ONE large BIEM system with the dense [B·H, B·H]
+     matrix row-sharded across the mesh: assembly, the GMRES matvecs,
+     and the Krylov inner products are all partitioned by XLA (matvec
+     partials stay on-shard; the reductions ride ICI psums).  This is
+     the scaling path for n_end/B beyond one chip's HBM (SURVEY.md
+     sections 2.5 and 5 "long-context" analogue).
 
 Shardings are expressed with NamedSharding + jit; XLA inserts any
 required collectives (ICI-resident by construction: the mesh is 1D/2D
@@ -25,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..biem import biem, plane_wave
 
-__all__ = ["make_mesh", "sharded_sweep", "sharded_uscat"]
+__all__ = ["make_mesh", "sharded_solve", "sharded_sweep", "sharded_uscat"]
 
 
 def make_mesh(n_devices=None, axis_names=("sweep",), shape=None):
@@ -104,6 +110,83 @@ def sharded_sweep(
         out_shardings=spec_k,
     )
     return fn(jnp.asarray(ks), centers_b, radii_b, eta_b, dir_b)
+
+
+def sharded_solve(
+    c,
+    *,
+    centers,
+    radii,
+    k,
+    n_end,
+    direction,
+    alpha=1.0,
+    beta=0.0,
+    eta=None,
+    mesh=None,
+    axis_name="rows",
+    tol=None,
+):
+    """Solve ONE BIEM system with the dense matrix row-sharded.
+
+    The [B·H, B·H] system matrix is annotated with a row sharding via
+    `with_sharding_constraint`; XLA then partitions the assembly output,
+    streams each shard's rows from its own HBM during the GMRES matvecs,
+    and inserts ICI collectives for the Krylov inner products.  Peak
+    per-chip matrix memory drops by the mesh size, which is what makes
+    n_end/B configurations beyond one chip's HBM feasible (the memory
+    model `max_memory` is per-chip).
+
+    Returns the solved density [B, H] (replicated).
+    """
+    from jax.lax import with_sharding_constraint
+
+    from ..biem._core import _assemble, _check_biem_inputs, _rhs_expansion
+    from ..ops import cplx
+    from ..ops.cplx import C
+
+    if mesh is None:
+        mesh = make_mesh(axis_names=(axis_name,))
+    rows = NamedSharding(mesh, P(axis_name, None))
+    repl = NamedSharding(mesh, P())
+    d = c.c_ndim
+    centers = jnp.asarray(centers)
+    radii = jnp.asarray(radii)
+    k = jnp.asarray(k)
+    direction = jnp.asarray(direction)
+    eta_in = None if eta is None else jnp.asarray(eta)
+
+    def step(k_, centers_, radii_, dir_):
+        uin, uin_grad = plane_wave(k=k_, direction=dir_)
+        centers_c, radii_c, k_c, eta_c, alpha_c, beta_c = _check_biem_inputs(
+            c, centers_, radii_, k_, eta_in, alpha, beta
+        )
+        f = _rhs_expansion(
+            c,
+            n_end,
+            centers_c,
+            radii_c,
+            alpha_c,
+            beta_c,
+            uin,
+            uin_grad if np.any(np.asarray(beta) != 0) else None,
+            0,
+        )
+        m = _assemble(
+            c, n_end, centers_c, radii_c, k_c, eta_c, alpha_c, beta_c, None
+        )
+        b_, h_ = f.shape[-2:]
+        n = b_ * h_
+        m2 = m.reshape((n, n))
+        m2 = C(
+            with_sharding_constraint(m2.re, rows),
+            with_sharding_constraint(m2.im, rows),
+        )
+        x = cplx.gmres_solve(m2, f.reshape((n,)), tol=tol)
+        return x.reshape((b_, h_))
+
+    fn = jax.jit(step, in_shardings=(repl, repl, repl, repl), out_shardings=repl)
+    return fn(k, centers, radii, direction)
 
 
 def sharded_uscat(calc, x, mesh=None, axis_name="points", **kw):

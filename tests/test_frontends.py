@@ -179,6 +179,40 @@ def test_sharded_sweep_and_uscat():
     np.testing.assert_allclose(to_numpy(u2), ref, rtol=1e-9)
 
 
+def test_sharded_solve_matches_unsharded():
+    # Row-sharded dense system (SURVEY.md section 2.5 "shard the
+    # [B*harm]^2 matrix over ICI"): same density as the single-device
+    # GMRES path, with the matrix partitioned over the 8 virtual devices.
+    from biem_helmholtz_sphere_tpu import biem, plane_wave
+    from biem_helmholtz_sphere_tpu.coords import create_from_branching_types
+    from biem_helmholtz_sphere_tpu.ops.cplx import to_numpy
+    from biem_helmholtz_sphere_tpu.parallel import make_mesh, sharded_solve
+
+    c = create_from_branching_types("ba")
+    centers = jnp.asarray([[0.0, 2.0, 0.0], [0.0, -2.0, 0.0]])
+    radii = jnp.ones(2)
+    k = jnp.asarray(1.0)
+    n_end = 4  # B*H = 2*16 = 32 rows -> 4 per device
+    mesh = make_mesh(n_devices=8, axis_names=("rows",))
+    dens = sharded_solve(
+        c,
+        centers=centers,
+        radii=radii,
+        k=k,
+        n_end=n_end,
+        direction=np.array([1.0, 0.0, 0.0]),
+        mesh=mesh,
+    )
+    uin, _ = plane_wave(k=k, direction=jnp.asarray(np.array([1.0, 0.0, 0.0])))
+    calc = biem(
+        c, centers=centers, radii=radii, k=k, n_end=n_end, uin=uin,
+        solver="gmres",
+    )
+    ref = to_numpy(calc.density)
+    got = to_numpy(dens)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=np.abs(ref).max() * 1e-8)
+
+
 def test_gmres_matches_direct():
     from biem_helmholtz_sphere_tpu import biem, plane_wave
     from biem_helmholtz_sphere_tpu.coords import create_from_branching_types
