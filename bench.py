@@ -27,7 +27,7 @@ N_SIDE = 4  # 4x4 lattice -> 16 balls
 SPACING = 4.0
 K0 = 8.0
 N_K = 3  # timed k-points (distinct values, same compiled program)
-EVAL_POINTS = 1 << 14
+EVAL_POINTS = 1 << 17
 EVAL_CHUNK = 2048
 
 # Conservative extrapolation of the measured NumPy baseline to n_end=32

@@ -25,6 +25,7 @@ from ..harmonics._index import assume_n_end_from_num, basis
 from ..ops import cplx
 from ..ops.cplx import C
 from ..special._family import spherical_jh_all
+from ._eval_fused import fused_ba_dot, is_ba_tree
 from ._layer import blc
 
 
@@ -77,7 +78,8 @@ def biem_u(res, x, /, far_field=False, per_ball=False, expand_x=True):
     # combined-field coefficient on each source sphere: C [..., B, H]
     # (blc appends the harmonic axis itself; eta_e already carries the B axis)
     sd = blc(c, n_end, k_e, radii_e, eta_e)
-    if not far_field:
+    fused = is_ba_tree(c)
+    if not far_field and not fused:
         _, _, h, _ = spherical_jh_all(d, n_end, k_e * r)
         sd = sd * cplx.take(h, n_idx, axis=-1)
 
@@ -90,19 +92,43 @@ def biem_u(res, x, /, far_field=False, per_ball=False, expand_x=True):
         # (_biem.py:885,922), which does not converge to the true
         # far-field pattern for off-center spheres; we keep the correct
         # asymptotics here.
-        y = harmonics(c, from_cartesian(c, x_), n_end)
         phase_n = cplx.ipow(-b_.n_root.astype(np.int64))
         kk = k_e if isinstance(k_e, C) else C.of(k_e)
         pref = 1.0 / cplx.cpow(kk * 1j, (d - 1) / 2.0)
         phase_b = cplx.exp(kk * jnp.sum(x_ * -centers_e, axis=0) * 1j)
         farcoef = pref * phase_b  # [...x, ...first, B]
-        u = (dens * sd * y * phase_n).sum(axis=-1) * farcoef
+        if fused:
+            sph_dir = from_cartesian(c, x_)
+            u = fused_ba_dot(
+                c,
+                n_end,
+                dens * sd * phase_n,
+                sph_dir[c.root.nid],
+                sph_dir[c.root.children[0].nid],
+            ) * farcoef
+        else:
+            y = harmonics(c, from_cartesian(c, x_), n_end)
+            u = (dens * sd * y * phase_n).sum(axis=-1) * farcoef
         if per_ball:
             return u
         return u.sum(axis=-1)
 
-    y = harmonics(c, sph, n_end)  # C [...x, ...first, B, H]
-    u = (dens * sd * y).sum(axis=-1)  # [...x, ...first, B]
+    if fused:
+        # 3D fast path: the density contraction is accumulated inside
+        # the Jacobi recurrence scan (no [points, B, H] temporaries) and
+        # the per-point radial factor h_l(kr) is folded in by degree.
+        _, _, h, _ = spherical_jh_all(d, n_end, k_e * r)
+        u = fused_ba_dot(
+            c,
+            n_end,
+            dens * sd,
+            sph[c.root.nid],
+            sph[c.root.children[0].nid],
+            rad=h,
+        )
+    else:
+        y = harmonics(c, sph, n_end)  # C [...x, ...first, B, H]
+        u = (dens * sd * y).sum(axis=-1)  # [...x, ...first, B]
     if not per_ball:
         u = u.sum(axis=-1)
 

@@ -304,3 +304,39 @@ def test_matfree_gmres_matches_direct():
     d_d = tonp(biem(c, **kw2, solver="direct").density)
     d_m = tonp(biem(c, **kw2, solver="matfree").density)
     assert np.abs(d_m - d_d).max() / np.abs(d_d).max() < 1e-10
+
+
+def test_fused_eval_matches_general(rng):
+    # The 3D "ba" fused evaluation (biem/_eval_fused.py) against the
+    # materialized-harmonics general path: near field, far field,
+    # per_ball, and the inside-sphere NaN mask.
+    import importlib
+
+    ev = importlib.import_module("biem_helmholtz_sphere_tpu.biem._eval")
+    assert ev.is_ba_tree(create_from_branching_types("ba"))
+    assert not ev.is_ba_tree(create_from_branching_types("caa"))
+
+    _, calc = _two_sphere_problem("ba", 8, k=1.4)
+    x = rng.normal(size=(3, 40)) * 5.0
+    xhat = x / np.linalg.norm(x, axis=0)
+    u_f = tonp(calc.uscat(jnp.asarray(x)))
+    uf_far = tonp(calc.uscat(jnp.asarray(xhat), far_field=True, per_ball=True))
+    orig = ev.is_ba_tree
+    try:
+        ev.is_ba_tree = lambda c: False
+        u_g = tonp(calc.uscat(jnp.asarray(x)))
+        ug_far = tonp(
+            calc.uscat(jnp.asarray(xhat), far_field=True, per_ball=True)
+        )
+    finally:
+        ev.is_ba_tree = orig
+    scale = np.nanmax(np.abs(u_g))
+    np.testing.assert_allclose(
+        np.nan_to_num(u_f), np.nan_to_num(u_g), atol=scale * 1e-12
+    )
+    np.testing.assert_allclose(
+        uf_far, ug_far, atol=np.abs(ug_far).max() * 1e-12
+    )
+    assert np.isnan(u_f[np.linalg.norm(x - np.array([[0.0], [2.0], [0.0]]), axis=0) < 1.0].real).all()
+    ui = tonp(calc.uscat(jnp.asarray([[0.0], [2.0], [0.0]])))
+    assert np.isnan(ui.real).all()
