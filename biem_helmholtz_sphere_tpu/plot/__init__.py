@@ -11,7 +11,7 @@ import numpy as np
 
 from ..ops.cplx import to_numpy
 
-__all__ = ["plot_biem", "plot_biem_far", "signed_log"]
+__all__ = ["animate_biem", "plot_biem", "plot_biem_far", "signed_log"]
 
 
 def signed_log(x):
@@ -81,6 +81,76 @@ def plot_biem(
     ax.figure.colorbar(im, ax=ax, shrink=0.85)
     ax.set_title("Re u(x)" + (" [signed log]" if use_signed_log else ""))
     return ax
+
+
+def animate_biem(
+    biem_res,
+    path,
+    n_frames=20,
+    fps=10,
+    axes=(0, 1),
+    lim=6.0,
+    n_points=128,
+    balls=None,
+    use_signed_log=False,
+    include_uin=True,
+):
+    """Time animation Re[u e^{-2 pi i t}], t in [0, 1) — the reference's
+    plot_biem animation frames (plot.py:96-118) written to a GIF.
+
+    The field is evaluated ONCE; frames only re-apply the time phase.
+    Returns the output path.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    c = biem_res.c
+    d = c.c_ndim
+    g, pts = _plane_grid(d, axes, lim, n_points)
+    import jax.numpy as jnp
+
+    x = jnp.asarray(pts)
+    us = to_numpy(biem_res.uscat(x, per_ball=True))
+    us = us.reshape(pts.shape[1], -1, us.shape[-1])[:, 0, :]
+    if balls is not None:
+        us = us[:, list(balls)]
+    u = us.sum(axis=-1)
+    if include_uin and biem_res.uin is not None:
+        u = u + to_numpy(biem_res.uin(x)).reshape(pts.shape[1], -1)[:, 0]
+    u = u.reshape(n_points, n_points)
+    vmax = np.nanmax(np.abs(u))
+
+    fig, ax = plt.subplots(figsize=(5, 4.4))
+    frame0 = np.real(u)
+    if use_signed_log:
+        frame0, vmax = signed_log(frame0), signed_log(vmax)
+    im = ax.imshow(
+        frame0,
+        origin="lower",
+        extent=(-lim, lim, -lim, lim),
+        cmap="RdBu_r",
+        vmin=-vmax,
+        vmax=vmax,
+    )
+    ax.set_xlabel(f"x{axes[0]}")
+    ax.set_ylabel(f"x{axes[1]}")
+    fig.colorbar(im, ax=ax, shrink=0.85)
+
+    def update(i):
+        f = np.real(u * np.exp(-2j * np.pi * i / n_frames))
+        if use_signed_log:
+            f = signed_log(f)
+        im.set_data(f)
+        ax.set_title(f"Re u(x) e^{{-2π i t}},  t = {i / n_frames:.2f}")
+        return (im,)
+
+    anim = FuncAnimation(fig, update, frames=n_frames, blit=False)
+    anim.save(path, writer=PillowWriter(fps=fps))
+    plt.close(fig)
+    return path
 
 
 def plot_biem_far(biem_res, axes=(0, 1), n_points=360, per_ball=True, ax=None):

@@ -91,6 +91,11 @@ def test_plots(tmp_path):
     assert (tmp_path / "near.png").stat().st_size > 1000
     assert (tmp_path / "far.png").stat().st_size > 1000
 
+    from biem_helmholtz_sphere_tpu.plot import animate_biem
+
+    gif = animate_biem(calc, str(tmp_path / "anim.gif"), n_frames=3, n_points=16)
+    assert (tmp_path / "anim.gif").stat().st_size > 1000, gif
+
 
 def test_gui_solver_handler():
     from biem_helmholtz_sphere_tpu.gui import _solve_and_plot
