@@ -77,74 +77,106 @@ def run_accuracy(
                     "seconds",
                 ]
             )
+        import jax
+
+        def make_step(c, centers, n_end, direction):
+            """One jitted k -> (density, uscat(0)) program per shape.
+
+            The k sweep reuses ONE compiled program for every k value at
+            a given (geometry, n_end) — eager per-op dispatch made each
+            row cost tens of seconds regardless of problem size.
+            """
+            d = c.c_ndim
+            centers_j = jnp.asarray(centers)
+            radii_j = jnp.ones(len(centers))
+            dir_j = jnp.asarray(direction)
+
+            def fn(k):
+                uin, _ = plane_wave(k=k, direction=dir_j)
+                calc = biem(
+                    c,
+                    centers=centers_j,
+                    radii=radii_j,
+                    k=k,
+                    n_end=n_end,
+                    uin=uin,
+                )
+                return calc.density, calc.uscat(jnp.zeros((d, 1)))
+
+            return jax.jit(fn)
+
+        def run_row(btype, mode_, step, k, n_balls, n_end):
+            t0 = time.perf_counter()
+            try:
+                dens, u0c = step(jnp.asarray(float(k)))
+                dens = to_numpy(dens)
+                if np.any(np.isnan(dens)):
+                    raise ValueError("density contains NaN")
+                u0 = complex(to_numpy(u0c).reshape(-1)[0])
+                if np.isnan(u0.real) or np.isnan(u0.imag):
+                    raise ValueError("uscat contains NaN")
+                wr.writerow(
+                    [
+                        btype,
+                        mode_,
+                        n_balls,
+                        k,
+                        n_end,
+                        u0.real,
+                        u0.imag,
+                        round(time.perf_counter() - t0, 3),
+                    ]
+                )
+                fh.flush()
+                log.debug(
+                    "%s B=%d k=%g n_end=%d -> %s", btype, n_balls, k, n_end, u0
+                )
+            except Exception as e:
+                log.warning(
+                    "accuracy %s B=%d k=%g n_end=%d failed: %s",
+                    btype,
+                    n_balls,
+                    k,
+                    n_end,
+                    e,
+                )
+
+        try:
+            from tqdm import tqdm
+        except Exception:  # pragma: no cover
+            tqdm = lambda it, **kw: it  # noqa: E731
+
         for btype in branching_types:
             c = create_from_branching_types(btype)
             d = c.c_ndim
             direction = np.zeros(d)
             direction[0] = 1.0
             if mode == "k":
-                cases = [
-                    (pair_centers(d), 2.0**e)
-                    for e in np.arange(0.0, k_max_log2 + 1e-9, 0.5)
-                ]
+                centers = pair_centers(d)
+                kvals = [2.0**e for e in np.arange(0.0, k_max_log2 + 1e-9, 0.5)]
+                for n_end in tqdm(
+                    _n_end_grid(n_end_max_log2), desc=f"{btype} k-sweep"
+                ):
+                    try:
+                        step = make_step(c, centers, n_end, direction)
+                    except Exception as e:  # pragma: no cover
+                        log.warning("compile n_end=%d failed: %s", n_end, e)
+                        continue
+                    for k in kvals:
+                        run_row(btype, mode, step, k, 2, n_end)
             else:
-                cases = [
-                    (lattice_centers(2 * 2**m, d), 1.0)
+                lattices = [
+                    lattice_centers(2 * 2**m, d)
                     for m in range(0, n_balls_max_log4 + 1)
                 ]
-            try:
-                from tqdm import tqdm
-            except Exception:  # pragma: no cover
-                tqdm = lambda it, **kw: it  # noqa: E731
-            for centers, k in tqdm(cases, desc=f"{btype} {mode}-sweep"):
-                n_balls = len(centers)
-                for n_end in _n_end_grid(n_end_max_log2):
-                    t0 = time.perf_counter()
-                    try:
-                        uin, _ = plane_wave(
-                            k=np.asarray(k), direction=jnp.asarray(direction)
-                        )
-                        calc = biem(
-                            c,
-                            centers=jnp.asarray(centers),
-                            radii=jnp.ones(n_balls),
-                            k=np.asarray(k),
-                            n_end=n_end,
-                            uin=uin,
-                        )
-                        dens = to_numpy(calc.density)
-                        if np.any(np.isnan(dens)):
-                            raise ValueError("density contains NaN")
-                        u0 = complex(
-                            to_numpy(calc.uscat(jnp.zeros((d, 1)))).reshape(-1)[0]
-                        )
-                        if np.isnan(u0.real) or np.isnan(u0.imag):
-                            raise ValueError("uscat contains NaN")
-                        wr.writerow(
-                            [
-                                btype,
-                                mode,
-                                n_balls,
-                                k,
-                                n_end,
-                                u0.real,
-                                u0.imag,
-                                round(time.perf_counter() - t0, 3),
-                            ]
-                        )
-                        fh.flush()
-                        log.debug(
-                            "%s B=%d k=%g n_end=%d -> %s", btype, n_balls, k, n_end, u0
-                        )
-                    except Exception as e:
-                        log.warning(
-                            "accuracy %s B=%d k=%g n_end=%d failed: %s",
-                            btype,
-                            n_balls,
-                            k,
-                            n_end,
-                            e,
-                        )
+                for centers in tqdm(lattices, desc=f"{btype} n_balls-sweep"):
+                    for n_end in _n_end_grid(n_end_max_log2):
+                        try:
+                            step = make_step(c, centers, n_end, direction)
+                        except Exception as e:  # pragma: no cover
+                            log.warning("compile failed: %s", e)
+                            continue
+                        run_row(btype, mode, step, 1.0, len(centers), n_end)
     log.info("appended to %s", path)
     return path
 
