@@ -35,7 +35,7 @@ from ..harmonics._expand import _quad_harmonics
 from ..harmonics._index import basis
 from ..ops import cplx
 from ..ops.cplx import C
-from ..special._family import spherical_jh_all
+from ..special._family import spherical_jh_all, spherical_jh_scaled
 from ..translation._ops import translation_matrix
 from ._layer import blc
 from ._memory import max_memory, max_n_end  # noqa: F401  (re-exported)
@@ -220,6 +220,61 @@ def _radial_rows(c, n_end, radii, k, eta, alpha, beta):
     return sing_row, reg_row, blc_col
 
 
+def _radial_rows_scaled(c, n_end, radii, k, eta, alpha, beta):
+    """Scale-compensated radial rows: three (mantissa C, exponent) pairs.
+
+    sing = alpha h_n + beta k h_n', reg = alpha j_n + beta k j_n',
+    blc = i k^{d-2} rho^{d-1} (k j_n' - i eta j_n) — each returned as
+    mant * exp(e) with |mant| representable at any (n, k rho): the plain
+    _radial_rows overflows h (and underflows j) in float32 from
+    n ~ k rho + 20.  Exponents of the two terms in each sum are folded
+    at their maximum so every factor entering the sum is <= 1.
+    """
+    d = c.c_ndim
+    b_ = basis(c, n_end)
+    n_idx = jnp.asarray(b_.n_root)
+    z = _k_mul(k[..., None], radii)
+    (jm, je), (jpm, jpe), (hm, he), (hpm, hpe) = spherical_jh_scaled(d, n_end, z)
+
+    def gat(t):
+        return cplx.take(t, n_idx, axis=-1)
+
+    def gat_r(t):
+        return jnp.take(t, n_idx, axis=-1)
+
+    jmH, jpmH, hmH, hpmH = gat(jm), gat(jpm), gat(hm), gat(hpm)
+    jeH, jpeH, heH, hpeH = gat_r(je), gat_r(jpe), gat_r(he), gat_r(hpe)
+    k_b = k[..., None, None]  # [..., 1(B), 1(H)]
+
+    e_sing = jnp.maximum(heH, hpeH)
+    sing_m = alpha[..., None] * (hmH * jnp.exp(heH - e_sing)) + beta[
+        ..., None
+    ] * ((hpmH * jnp.exp(hpeH - e_sing)) * k_b)
+
+    e_reg = jnp.maximum(jeH, jpeH)
+    reg_m = alpha[..., None] * (jmH * jnp.exp(jeH - e_reg)) + beta[
+        ..., None
+    ] * ((jpmH * jnp.exp(jpeH - e_reg)) * k_b)
+
+    kk = k if isinstance(k, C) else C.of(k)
+    pref = (kk[..., None] ** (d - 2) * radii ** (d - 1) * 1j)[..., None]
+    e_blc = jnp.maximum(jeH, jpeH)
+    blc_m = pref * (
+        kk[..., None, None] * (jpmH * jnp.exp(jpeH - e_blc))
+        - (jmH * jnp.exp(jeH - e_blc)) * eta[..., None, None] * 1j
+    )
+    # python-complex scalars (1j factors) promote to f64 under an x64
+    # session even for f32 inputs; pin everything to the input dtype
+    rdt = jnp.result_type(
+        radii.dtype, (k.re if isinstance(k, C) else k).dtype, jnp.float32
+    )
+    return (
+        (sing_m.astype(rdt), e_sing.astype(rdt)),
+        (reg_m.astype(rdt), e_reg.astype(rdt)),
+        (blc_m.astype(rdt), e_blc.astype(rdt)),
+    )
+
+
 def _pair_routing(centers_np):
     """Host-side pair routing tables for the matrix-free matvec.
 
@@ -328,7 +383,7 @@ def _matfree_operator(c, n_end, centers_np, radii, k, eta, alpha, beta, method):
     return mv, diag_flat
 
 
-def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method):
+def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method, stable=False):
     """Dense block matrix C [..., B, H, B', H'] (reference: _biem.py:694-792).
 
     The (S|R) coupling is computed only for ordered pairs b < b' (the
@@ -336,15 +391,26 @@ def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method):
     SR(-t)[h',h] = (-1)^{n_h+n_h'} SR(t)[h',h]), in chunks of _PAIR_CHUNK
     pairs to bound the [chunk, Q, H] contraction intermediates; radial
     row/column factors are fused in before the full tensor is formed.
+
+    stable=True uses the scale-compensated path (translation/_scaled.py
+    + _radial_rows_scaled): every factor is carried as mantissa x
+    exponent and only the physically bounded PRODUCTS are exponentiated,
+    so assembly stays finite at any (n_end, k) in float32 — where the
+    plain path NaNs out from n_end ~ k t_min + 20 (h_n overflow).
     """
     b_ = basis(c, n_end)
     n_balls = radii.shape[-1]
     h_num = b_.num
 
-    # per-sphere radial tables: C [..., B, H] each
-    sing_row, reg_row, blc_col = _radial_rows(
-        c, n_end, radii, k, eta, alpha, beta
-    )
+    if stable:
+        (sing_row, e_sing), (reg_row, e_reg), (blc_col, e_blc) = (
+            _radial_rows_scaled(c, n_end, radii, k, eta, alpha, beta)
+        )
+    else:
+        # per-sphere radial tables: C [..., B, H] each
+        sing_row, reg_row, blc_col = _radial_rows(
+            c, n_end, radii, k, eta, alpha, beta
+        )
 
     batch = jnp.broadcast_shapes(
         centers.shape[:-2], k.shape, eta.shape, sing_row.shape[:-2]
@@ -354,7 +420,11 @@ def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method):
     # diagonal blocks: delta_{hh'} blc_col[b,h'] sing_row[b,h]
     eye_h = jnp.eye(h_num, dtype=rdt)
     a = C.zeros(batch + (n_balls, h_num, n_balls, h_num), dtype=rdt)
-    diag = (sing_row * blc_col)[..., :, :, None] * eye_h  # C [..., B, H, H']
+    if stable:
+        diag_v = (sing_row * blc_col) * jnp.exp(e_sing + e_blc)
+        diag = diag_v[..., :, :, None] * eye_h  # C [..., B, H, H']
+    else:
+        diag = (sing_row * blc_col)[..., :, :, None] * eye_h
     bidx = np.arange(n_balls)
     diag = cplx.broadcast_to(diag, batch + (n_balls, h_num, h_num))
     # separated advanced indices put the index axis FIRST in numpy semantics
@@ -387,34 +457,65 @@ def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method):
     t_cart = jnp.moveaxis(t, -1, 0)
     n_pairs = t_cart.shape[-1]
 
-    if n_pairs <= _PAIR_CHUNK:
-        sr_up = translation_matrix(
-            c, t_cart, n_end, k[..., None], kind="SR", method=method
-        )  # C [..., NP, H(row), H'(col)]
-    else:
-        # chunk the pair axis to bound translation intermediates
-        n_chunks = -(-n_pairs // _PAIR_CHUNK)
-        pad = n_chunks * _PAIR_CHUNK - n_pairs
-        t_pad = jnp.concatenate(
-            [t_cart, jnp.repeat(t_cart[..., :1], pad, axis=-1)], axis=-1
-        )
-        t_chunks = jnp.moveaxis(
-            t_pad.reshape(t_pad.shape[:-1] + (n_chunks, _PAIR_CHUNK)), -2, 0
-        )  # [n_chunks, d, ..., PC]
+    # chunking bounds the [chunk, Q, H] intermediates of the BANDED scan;
+    # the rotation/Graf paths have no such blowup AND their coaxial
+    # |t|-dedup only fires on concrete (unchunked) offsets, so give
+    # 'b'-rooted/2D trees a much larger chunk.
+    pair_chunk = (
+        64 if (c.c_ndim == 2 or c.root.kind in ("b", "bp")) else _PAIR_CHUNK
+    )
 
-        def one_chunk(t_c):
+    if stable:
+        from ..translation._scaled import sr_scaled
+
+        def tr(t_c):
+            from ..coords import from_cartesian
+
+            return sr_scaled(
+                c, from_cartesian(c, t_c), n_end, k[..., None],
+                kind="SR", t_cart=t_c, method=method,
+            )
+    else:
+        def tr(t_c):
             return translation_matrix(
                 c, t_c, n_end, k[..., None], kind="SR", method=method
             )
 
-        sr_chunks = jax.lax.map(one_chunk, t_chunks)  # C [n_chunks, ..., PC, H, H]
-        sr_up = cplx.moveaxis(sr_chunks, 0, -4)
-        sr_up = sr_up.reshape(
-            sr_up.shape[:-4] + (n_chunks * _PAIR_CHUNK,) + sr_up.shape[-2:]
-        )[..., :n_pairs, :, :]
+    if n_pairs <= pair_chunk:
+        sr_up = tr(t_cart)  # C [..., NP, H(row), H'(col)] (+ exponents)
+    else:
+        # chunk the pair axis to bound translation intermediates
+        n_chunks = -(-n_pairs // pair_chunk)
+        pad = n_chunks * pair_chunk - n_pairs
+        t_pad = jnp.concatenate(
+            [t_cart, jnp.repeat(t_cart[..., :1], pad, axis=-1)], axis=-1
+        )
+        t_chunks = jnp.moveaxis(
+            t_pad.reshape(t_pad.shape[:-1] + (n_chunks, pair_chunk)), -2, 0
+        )  # [n_chunks, d, ..., PC]
 
+        sr_chunks = jax.lax.map(tr, t_chunks)  # C [n_chunks, ..., PC, H, H]
+
+        def unchunk(x, mv):
+            x = mv(x, 0, -4)
+            return x.reshape(
+                x.shape[:-4] + (n_chunks * pair_chunk,) + x.shape[-2:]
+            )[..., :n_pairs, :, :]
+
+        if stable:
+            sr_up = (
+                unchunk(sr_chunks[0], cplx.moveaxis),
+                unchunk(sr_chunks[1], jnp.moveaxis),
+            )
+        else:
+            sr_up = unchunk(sr_chunks, cplx.moveaxis)
+
+    if stable:
+        sr_up, sr_e = sr_up
     if gather_pairs is not None:
         sr_up = sr_up[..., gather_pairs, :, :]
+        if stable:
+            sr_e = sr_e[..., gather_pairs, :, :]
 
     par = jnp.asarray(
         (-1.0) ** (b_.n_root[:, None].astype(np.int64) + b_.n_root[None, :]),
@@ -422,8 +523,22 @@ def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method):
     )
 
     # A[b, h, b', h'] = blc_col[b', h'] * SR(c_b - c_b')[h, h'] * reg_row[b, h]
-    up = reg_row[..., bu, :, None] * sr_up * blc_col[..., bv, None, :]
-    down = reg_row[..., bv, :, None] * (sr_up * par) * blc_col[..., bu, None, :]
+    if stable:
+        # fold all exponents before exponentiating: the triple product is
+        # the physically bounded system entry, its factors are not
+        ex_up = jnp.exp(
+            e_reg[..., bu, :, None] + sr_e + e_blc[..., bv, None, :]
+        )
+        ex_dn = jnp.exp(
+            e_reg[..., bv, :, None] + sr_e + e_blc[..., bu, None, :]
+        )
+        up = (reg_row[..., bu, :, None] * sr_up * blc_col[..., bv, None, :]) * ex_up
+        down = (
+            reg_row[..., bv, :, None] * (sr_up * par) * blc_col[..., bu, None, :]
+        ) * ex_dn
+    else:
+        up = reg_row[..., bu, :, None] * sr_up * blc_col[..., bv, None, :]
+        down = reg_row[..., bv, :, None] * (sr_up * par) * blc_col[..., bu, None, :]
     up = cplx.broadcast_to(up, batch + up.shape[-3:])
     down = cplx.broadcast_to(down, batch + down.shape[-3:])
     a = a.at_set(
@@ -452,6 +567,7 @@ def biem(
     force_matrix=False,
     translational_coefficients_method=None,
     solver="auto",
+    stable=None,
 ):
     """Solve the Helmholtz BIEM for non-overlapping hyperspheres.
 
@@ -473,6 +589,17 @@ def biem(
     the MXU versus one dense matvec, 0.96 s vs 0.56 s per k-point at the
     B=16 n_end=32 bench), or "auto" (direct up to B*H = 6144, then
     dense-GMRES while the matrix fits ~6 GB, then matfree).
+
+    stable: scale-compensated assembly (mantissa x exponent radial and
+    translation factors; translation/_scaled.py).  Keeps the matrix
+    finite at ANY (n_end, k) — the plain float32 path NaNs out from
+    n_end ~ k t_min + 20 where h_n overflows, and even float64 dies at
+    the reference's extreme sweep corners.  None (default) enables it
+    automatically in float32 when the tree supports it (2D or 'b'-rooted
+    d >= 3); True forces it (float64 too); False disables.  The scaled
+    path uses its own exact translation algorithms (Graf / rotation +
+    coaxial) regardless of translational_coefficients_method, and the
+    matrix-free solver does not use it.
     """
     if solver not in ("auto", "direct", "gmres", "matfree"):
         raise ValueError(f"unknown solver {solver!r}")
@@ -481,6 +608,18 @@ def biem(
     )
     ndim_first = k.ndim
     n_balls = radii.shape[-1]
+
+    stable_ok = c.c_ndim == 2 or c.root.kind in ("b", "bp")
+    if stable is None:
+        rdt = jnp.result_type(
+            radii.dtype, (k.re if isinstance(k, C) else k).dtype, jnp.float32
+        )
+        stable = stable_ok and jnp.finfo(rdt).bits == 32
+    elif stable and not stable_ok:
+        raise ValueError(
+            "stable=True requires a 2D or 'b'-rooted tree (the general "
+            "band scan is not scale-compensated yet)"
+        )
 
     if uin is None and uin_grad is None:
         f_exp = None
@@ -511,15 +650,23 @@ def biem(
 
     if not use_matrix:
         # single sphere: the system is diagonal (reference: _biem.py:643-691)
-        d = c.c_ndim
-        b_ = basis(c, n_end)
-        n_idx = jnp.asarray(b_.n_root)
-        _, _, h, hp = spherical_jh_all(d, n_end, _k_mul(k[..., None], radii))
-        hH = cplx.take(h, n_idx, axis=-1)
-        hpH = cplx.take(hp, n_idx, axis=-1)
-        sing = alpha[..., None] * hH + beta[..., None] * (hpH * k[..., None, None])
-        sd = blc(c, n_end, k[..., None], radii, eta[..., None]) * sing
-        density = f_exp / sd
+        if stable:
+            (sing_m, e_s), _, (blc_m, e_b) = _radial_rows_scaled(
+                c, n_end, radii, k, eta, alpha, beta
+            )
+            density = f_exp / ((sing_m * blc_m) * jnp.exp(e_s + e_b))
+        else:
+            d = c.c_ndim
+            b_ = basis(c, n_end)
+            n_idx = jnp.asarray(b_.n_root)
+            _, _, h, hp = spherical_jh_all(d, n_end, _k_mul(k[..., None], radii))
+            hH = cplx.take(h, n_idx, axis=-1)
+            hpH = cplx.take(hp, n_idx, axis=-1)
+            sing = alpha[..., None] * hH + beta[..., None] * (
+                hpH * k[..., None, None]
+            )
+            sd = blc(c, n_end, k[..., None], radii, eta[..., None]) * sing
+            density = f_exp / sd
         matrix = None
     else:
         h_num = basis(c, n_end).num
@@ -579,6 +726,7 @@ def biem(
                 alpha,
                 beta,
                 translational_coefficients_method,
+                stable=stable,
             )
             if f_exp is None:
                 density = None

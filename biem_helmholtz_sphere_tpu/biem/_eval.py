@@ -24,9 +24,26 @@ from ..harmonics._eval import harmonics
 from ..harmonics._index import assume_n_end_from_num, basis
 from ..ops import cplx
 from ..ops.cplx import C
-from ..special._family import spherical_jh_all
+from ..special._family import spherical_h_scaled
 from ._eval_fused import fused_ba_dot, is_ba_tree
 from ._layer import blc
+
+
+def _h_clamped(d, n_end, z):
+    """Outgoing radial table h_n(z) with overflow-clamped magnitude.
+
+    For degrees far beyond convergence |h_n(kr)| overflows float32; the
+    density there has underflowed to exactly 0 (its true value makes the
+    product negligible — see _core._radial_rows_scaled), so the clamp
+    only prevents 0 * inf = NaN from poisoning the harmonic sum.  For
+    any representable density the true product is bounded, which forces
+    the exponent below the clamp — so clamping never changes a
+    contributing term.  Upward-only recurrence: cheaper than the full
+    j+h table the unclamped path computed.
+    """
+    hm, he = spherical_h_scaled(d, n_end, z)
+    lim = 80.0 if jnp.finfo(he.dtype).bits == 32 else 700.0
+    return hm * jnp.exp(jnp.minimum(he, lim))
 
 
 def biem_u(res, x, /, far_field=False, per_ball=False, expand_x=True):
@@ -80,7 +97,7 @@ def biem_u(res, x, /, far_field=False, per_ball=False, expand_x=True):
     sd = blc(c, n_end, k_e, radii_e, eta_e)
     fused = is_ba_tree(c)
     if not far_field and not fused:
-        _, _, h, _ = spherical_jh_all(d, n_end, k_e * r)
+        h = _h_clamped(d, n_end, k_e * r)
         sd = sd * cplx.take(h, n_idx, axis=-1)
 
     dens = density[(None,) * ndim_x + (...,)]
@@ -117,7 +134,7 @@ def biem_u(res, x, /, far_field=False, per_ball=False, expand_x=True):
         # 3D fast path: the density contraction is accumulated inside
         # the Jacobi recurrence scan (no [points, B, H] temporaries) and
         # the per-point radial factor h_l(kr) is folded in by degree.
-        _, _, h, _ = spherical_jh_all(d, n_end, k_e * r)
+        h = _h_clamped(d, n_end, k_e * r)
         u = fused_ba_dot(
             c,
             n_end,

@@ -90,7 +90,9 @@ def fused_ba_dot(c, n_end, w, theta, phi, rad=None):
     m_axis, m_abs, hmap, valid, a_tab, b_tab, rad_idx = _fused_tables(c, n_end)
     n = n_end
     rdt = jnp.result_type(theta.dtype, jnp.float32)
-    w = C.of(w)
+    w = C.of(w).astype(rdt)
+    if rad is not None:
+        rad = rad.astype(rdt)
     # regroup w -> [..., B, M, D] (small: no point axes), invalid -> 0
     w2 = cplx.take(w, jnp.asarray(np.maximum(hmap, 0)), axis=-1)
     w2 = w2 * jnp.asarray(valid, dtype=rdt)

@@ -18,6 +18,8 @@ class BIEMKwargs(TypedDict):
     eta: NotRequired[Any]
     kind: NotRequired[Literal["inner", "outer"]]
     force_matrix: NotRequired[bool]
+    solver: NotRequired[Literal["auto", "direct", "gmres", "matfree"]]
+    stable: NotRequired[bool | None]
 
 
 @runtime_checkable

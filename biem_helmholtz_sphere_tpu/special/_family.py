@@ -145,6 +145,172 @@ def family_jh(base, n_max, z):
     return j, h
 
 
+def _upward_scaled(base, n_top, f0, f1, z):
+    """Upward recurrence in mantissa-exponent form.
+
+    Returns (mant: C [..., n_top+1], e: [..., n_top+1]) with
+    f_n = mant_n * exp(e_n).  Rescales whenever |mant| leaves
+    [1/rescale, rescale], so h_n stays representable far beyond the
+    float32 overflow point (|h_n(z)| ~ (2n-1)!!/z^{n+1} for n >> |z|).
+    """
+    inv = 1.0 / z
+    rescale = _rescale_for(z.re.dtype)
+    log_rescale = float(np.log(rescale))
+    zero_e = jnp.zeros_like(z.re)
+    if n_top == 0:
+        return cplx.stack([f0], axis=-1), zero_e[..., None]
+    if n_top == 1:
+        return cplx.stack([f0, f1], axis=-1), jnp.stack(
+            [zero_e, zero_e], axis=-1
+        )
+
+    def step(carry, n):
+        fm, fn, e = carry
+        fp = fn * inv * (2.0 * n + base - 2.0) - fm
+        big = abs(fp) > rescale
+        scale = jnp.where(big, 1.0 / rescale, 1.0)
+        fp2 = fp * scale
+        fn2 = fn * scale
+        e2 = e + jnp.where(big, log_rescale, 0.0)
+        return (fn2, fp2, e2), (fp2, e2)
+
+    ns = jnp.arange(1, n_top, dtype=z.re.dtype)
+    (_, _, _), (rest, e_rest) = jax.lax.scan(step, (f0, f1, zero_e), ns)
+    mant = _stack_orders([f0, f1], rest)
+    e = jnp.concatenate(
+        [zero_e[..., None], zero_e[..., None], jnp.moveaxis(e_rest, 0, -1)],
+        axis=-1,
+    )
+    return mant, e
+
+
+def _scaled_deriv(base, m, mant, e, z, inv_zm_log):
+    """Derivative in mantissa-exponent form given a scaled order table.
+
+    f'_n = f_{n-1} - ((n + base - 2)/z) f_n; each output order carries
+    exponent max(e_{n-1}, e_n) so both terms fold in with factors <= 1.
+    Returns (mant', e') for the d-dim function z^{-m} f_{n+m} shifted
+    exactly like _shift_deriv (the z^{-m} log goes into e').
+    """
+    n_top_p1 = mant.shape[-1]
+    n_arr = jnp.arange(n_top_p1, dtype=z.re.dtype)
+    fm1 = cplx.concatenate([mant[..., 1:2], mant[..., :-1]], axis=-1)
+    em1 = jnp.concatenate([e[..., 1:2], e[..., :-1]], axis=-1)
+    ep = jnp.maximum(em1, e)
+    t1 = fm1 * jnp.exp(em1 - ep)
+    t2 = (mant * jnp.exp(e - ep)) * ((1.0 / z)[..., None] * (n_arr + base - 2.0))
+    fp = t1 - t2
+    # n = 0: f'_0 = -f_1 exactly
+    fp = cplx.concatenate([-mant[..., 1:2], fp[..., 1:]], axis=-1)
+    ep = jnp.concatenate([e[..., 1:2], ep[..., 1:]], axis=-1)
+    if m == 0:
+        return fp, ep
+    # d/dz [z^{-m} f_{n+m}] = z^{-m} (f'_{n+m} - (m/z) f_{n+m}):
+    # fold the -(m/z) f term at the f' exponent, shift z^{-m} into e.
+    t3 = mant * jnp.exp(e - ep) * ((1.0 / z) * m)[..., None]
+    return fp - t3, ep + inv_zm_log[..., None]
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def spherical_jh_scaled(d, n_end, z):
+    """Scaled j, j', h, h' for n = 0..n_end-1: ((jm,je),(jpm,jpe),(hm,he),(hpm,hpe)).
+
+    Each function value is mant * exp(e) with |mant| kept representable,
+    so assembly at n >> |k t| stays finite in float32 (the unscaled
+    spherical_jh_all overflows h and underflows j there).  z must be
+    nonzero.
+    """
+    if d < 2:
+        raise ValueError(f"dimension must be >= 2, got {d}")
+    base = 2 if d % 2 == 0 else 3
+    m = (d - base) // 2
+    z = C.of(z)
+    n_top = n_end + m
+
+    j0, j1, h0, h1 = _seeds(base, z)
+    hm, he = _upward_scaled(base, n_top, h0, h1, z)
+    jm_up, je_up = _upward_scaled(base, n_top, j0, j1, z)
+
+    a, sig = _miller_down(base, n_top, z)
+    # Wronskian normalization (see family_jh); keep |s| in the exponent.
+    w_target = (1.0 / z ** (base - 1)) * 1j
+    e10 = jnp.exp(sig[..., 1] - sig[..., 0])
+    denom = a[..., 1] * e10 * h0 - a[..., 0] * h1
+    s = w_target / denom
+    s_abs = jnp.sqrt(s.abs2())
+    s_hat = s * jnp.where(s_abs > 0, 1.0 / s_abs, 1.0)
+    jm_down = s_hat[..., None] * a
+    je_down = sig - sig[..., :1] + jnp.log(jnp.where(s_abs > 0, s_abs, 1.0))[..., None]
+
+    n_arr = jnp.arange(n_top + 1, dtype=z.re.dtype)
+    use_up = n_arr <= abs(z)[..., None]
+    jm = cplx.where(use_up, jm_up, jm_down)
+    je = jnp.where(use_up, je_up, je_down)
+
+    inv_zm_log = -m * jnp.log(abs(z)) if m > 0 else jnp.zeros_like(z.re)
+    zm_phase = (z * (1.0 / abs(z))) ** (-m) if m > 0 else C.of(jnp.ones_like(z.re))
+
+    jpm, jpe = _scaled_deriv(base, m, jm, je, z, inv_zm_log)
+    hpm, hpe = _scaled_deriv(base, m, hm, he, z, inv_zm_log)
+
+    def shift(mant, e):
+        out_m = mant[..., m : m + n_end]
+        out_e = e[..., m : m + n_end] + inv_zm_log[..., None]
+        if m > 0:
+            out_m = zm_phase[..., None] * out_m
+        return out_m, out_e
+
+    jm, je = shift(jm, je)
+    hm, he = shift(hm, he)
+    if m > 0:
+        jpm = zm_phase[..., None] * jpm
+        hpm = zm_phase[..., None] * hpm
+
+    def norm(mant, e):
+        # The recurrences rescale in coarse jumps (log_rescale ~ 69 in
+        # f32), leaving |mant| anywhere in e^{+-35}; downstream code
+        # multiplies up to three mantissas, so renormalize to |mant| ~ 1
+        # and let the exponent carry everything.  max(|re|, |im|) avoids
+        # squaring (mantissas up to ~1e30 would overflow |.|^2 in f32).
+        a = jnp.maximum(jnp.abs(mant.re), jnp.abs(mant.im))
+        ln = jnp.log(jnp.where(a > 0, a, 1.0))
+        return mant * jnp.exp(-ln), e + ln
+
+    return (
+        norm(jm, je),
+        norm(jpm[..., m : m + n_end], jpe[..., m : m + n_end]),
+        norm(hm, he),
+        norm(hpm[..., m : m + n_end], hpe[..., m : m + n_end]),
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def spherical_h_scaled(d, n_end, z):
+    """Scaled outgoing h_n only: (mant C, e) with h_n = mant * exp(e).
+
+    Upward recurrence only — no Miller pass, so this is CHEAPER than
+    spherical_jh_all when just h is needed (field evaluation), while
+    staying representable at any order.  Mantissas are normalized to
+    |mant| ~ 1.
+    """
+    if d < 2:
+        raise ValueError(f"dimension must be >= 2, got {d}")
+    base = 2 if d % 2 == 0 else 3
+    m = (d - base) // 2
+    z = C.of(z)
+    n_top = n_end + m
+    _, _, h0, h1 = _seeds(base, z)
+    hm, he = _upward_scaled(base, n_top, h0, h1, z)
+    out_m = hm[..., m : m + n_end]
+    out_e = he[..., m : m + n_end]
+    if m > 0:
+        out_e = out_e - m * jnp.log(abs(z))[..., None]
+        out_m = ((z * (1.0 / abs(z))) ** (-m))[..., None] * out_m
+    a = jnp.maximum(jnp.abs(out_m.re), jnp.abs(out_m.im))
+    ln = jnp.log(jnp.where(a > 0, a, 1.0))
+    return out_m * jnp.exp(-ln), out_e + ln
+
+
 def _shift_deriv(base, m, f, z, inv_zm):
     """Derivative of z^{-m} f_{n+m} given base-family table f: C [..., n_top+1].
 

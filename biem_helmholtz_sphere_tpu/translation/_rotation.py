@@ -222,6 +222,28 @@ def rotation_matrix(c, t_hat, n_end):
     return cplx.where(block, dmat, C.of(0.0))
 
 
+def _dedup_radii(r_t, k):
+    """(uniq_r, inv) when r_t is a concrete 1-D batch with repeats, else
+    (None, None).  Structured geometries (lattices) repeat |t| across
+    many offset directions; the coaxial factor only depends on |t|, so
+    computing it once per distinct radius and gathering saves ~60% of
+    the coaxial work on a 4x4 lattice (24 offsets, 9 distinct radii).
+    Requires k's trailing axis to be broadcast (size 1 / absent): a k
+    batched PER OFFSET cannot ride a deduplicated offset axis."""
+    import jax as _jax
+
+    k_shape = k.shape if not isinstance(k, C) else k.re.shape
+    if len(k_shape) > 0 and k_shape[-1] != 1:
+        return None, None
+    if isinstance(r_t, _jax.core.Tracer) or jnp.ndim(r_t) != 1:
+        return None, None
+    r_np = np.round(np.asarray(r_t), 10)
+    uniq, inv = np.unique(r_np, return_inverse=True)
+    if len(uniq) >= len(r_np):
+        return None, None
+    return jnp.asarray(uniq, dtype=jnp.asarray(r_t).dtype), inv
+
+
 def sr_rotation(c, t_sph, n_end, k, kind="SR", t_cart=None):
     """(S|R) via rotation + coaxial: C [..., H, H].
 
@@ -243,7 +265,11 @@ def sr_rotation(c, t_sph, n_end, k, kind="SR", t_cart=None):
         r_t = t_sph["r"]
         t_cart_ = to_cartesian(c, {**t_sph, "r": jnp.ones_like(r_t)})
         t_hat = jnp.moveaxis(t_cart_, 0, -1)  # [..., d]
-    coax = coaxial_sr(c, r_t, n_end, k, kind=kind)  # [..., H, H]
+    uniq_r, inv = _dedup_radii(r_t, k)
+    if uniq_r is not None:
+        coax = coaxial_sr(c, uniq_r, n_end, k, kind=kind)[..., inv, :, :]
+    else:
+        coax = coaxial_sr(c, r_t, n_end, k, kind=kind)  # [..., H, H]
     rot = rotation_matrix(c, t_hat, n_end)  # [..., H, H]
     # SR(t) = D Coax D^H  (validated against the band scan to ~1e-12)
     tmp = cplx.einsum("...ij,...kj->...ik", coax, rot.conj())

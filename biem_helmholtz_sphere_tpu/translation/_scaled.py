@@ -1,0 +1,194 @@
+r"""Scale-compensated (S|R) translation: mantissa + per-entry exponent.
+
+Why.  The (S|R) entries scale like |h^{(1)}_{l+l'}(k t)|, which grows
+super-exponentially in l+l' beyond the oscillatory regime: at k t = 4
+the float32 matrix overflows from n_end ~ 22 (h_42(4) > 3.4e38) and NaNs
+the whole solve; float64 dies the same way at the reference's extreme
+sweep corner (n_end ~ 3000 at small k t needs exponents ~ e^20000).  The
+reference sidesteps this by running float64 and letting infeasible rows
+fail (cli.py:269-271).  A TPU-native framework cannot: float32 is the
+hardware dtype.
+
+What.  These providers return the translation operator as
+(mant, S): SR = mant * exp(S), with |mant| ~ O(1) and S[h', h] =
+log|h_{l+l'}(kt)| the per-entry log-scale.  Assembly (_core._assemble)
+folds S against the log-scales of the regular/boundary radial rows —
+whose product with SR is the physically bounded system-matrix entry —
+so no intermediate ever overflows, in any dtype.
+
+How.  Scaled radial tables come from special.spherical_jh_scaled.
+ *  2D (Graf closed form): entries ARE gathered radial values — gather
+    (mantissa, exponent) instead.
+ *  d >= 3, 'b'-rooted trees (rotation + coaxial): the coaxial band
+    contraction sum_n coef_n U_n runs per GROUP of _GROUP consecutive
+    bands, each group normalized to its own max exponent (band-to-band
+    log-steps are bounded, so group mantissas stay representable), and
+    groups are combined with per-entry factors exp(sig_g - S) <= 1
+    (the Gaunt mask guarantees n <= l+l' inside every surviving entry).
+    The rotation sandwich D . D^H is degree-block-diagonal and S is
+    constant on degree blocks, so it applies to the mantissa unchanged.
+ *  General trees (the d >= 3 masked band scan): not yet scaled;
+    sr_scaled raises NotImplementedError and assembly falls back to the
+    unscaled path there.
+"""
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..harmonics._index import basis
+from ..ops import cplx
+from ..ops.cplx import C
+from ..special._family import spherical_jh_scaled
+from ._ops import _a_const, _a_node_m
+from ._rotation import _coax_tables, _root_axis, rotation_matrix
+
+# Bands per scale group.  The within-group exponent spread is
+# (G-1) * ln(2N/(e k t)); G = 8 keeps it under the float32 exp range for
+# any k t > ~1e-4 * N while halving the group-combination passes.
+_GROUP = 8
+
+
+def graf_2d_scaled(c, t_sph, n_out, k, kind="SR"):
+    """(mant, S) for the 2D Graf closed form (see _ops._graf_2d)."""
+    if kind != "SR":
+        raise ValueError("scaled translation is (S|R)-only (RR is bounded)")
+    mo = _a_node_m(c, n_out)
+    mi = mo  # scaled path is square (n_in == n_out)
+    mu = mi[None, :] - mo[:, None]
+    mu_max = int(np.abs(mu).max())
+    r_t = t_sph["r"]
+    theta = t_sph[c.root.nid]
+    z = C.of(k) * r_t if isinstance(k, C) else jnp.asarray(k) * r_t
+    (jm, je), _, (hm, he), _ = spherical_jh_scaled(2, mu_max + 1, z)
+    mant_tab, e_tab = (hm, he) if kind == "SR" else (jm, je)
+    mant_tab = mant_tab * np.sqrt(2.0 / np.pi)
+    idx = jnp.asarray(np.abs(mu))
+    gathered = cplx.take(mant_tab, idx, axis=-1)
+    s_mat = jnp.take(e_tab, idx, axis=-1)
+    ipow = cplx.ipow(np.abs(mo)[:, None] - np.abs(mi)[None, :] + np.abs(mu))
+    phase = cplx.expi(theta[..., None, None] * jnp.asarray(mu, dtype=theta.dtype))
+    return gathered * ipow * phase, s_mat
+
+
+def coaxial_scaled(c, r, n_end, k, kind="SR"):
+    """(mant, S) coaxial factor along the root axis (see _rotation.coaxial_sr).
+
+    (S|R) only: the scale normalization S = log|h_{l+l'}| relies on the
+    top Gaunt band dominating, which holds for the growing h_n but not
+    for the decaying j_n of (R|R) — and (R|R) is bounded anyway.
+    """
+    if kind != "SR":
+        raise ValueError("scaled translation is (S|R)-only (RR is bounded)")
+    _root_axis(c)
+    d = c.c_ndim
+    zf, w, tz, t_cols, lsum, mask, phase = _coax_tables(
+        c, n_end, jax.config.jax_enable_x64
+    )
+    rdt = jnp.result_type(
+        r.dtype if not isinstance(r, C) else r.re.dtype, jnp.float32
+    )
+    zf = zf.astype(rdt)
+    w = w.astype(rdt)
+    tz = tz.astype(rdt)
+    t_cols = t_cols.astype(rdt)
+    phase = phase.astype(rdt)
+
+    n_bands = 2 * n_end - 1
+    z = k * r
+    (jm, je), _, (hm, he), _ = spherical_jh_scaled(d, n_bands, z)
+    radm, rade = (hm, he) if kind == "SR" else (jm, je)
+    radm = radm.astype(rdt)
+    rade = rade.astype(rdt)
+    # pad bands to a multiple of the group size (zero coefficients)
+    ng = -(-n_bands // _GROUP)
+    pad = ng * _GROUP - n_bands
+    coefm = cplx.ipow(np.arange(n_bands)).astype(rdt) * (_a_const(d) * zf) * radm
+    if pad:
+        zpad = C.zeros(coefm.shape[:-1] + (pad,), dtype=rdt)
+        coefm = cplx.concatenate([coefm, zpad], axis=-1)
+        rade = jnp.concatenate(
+            [rade, jnp.broadcast_to(rade[..., -1:], rade.shape[:-1] + (pad,))],
+            axis=-1,
+        )
+    gshape = coefm.shape[:-1] + (ng, _GROUP)
+    rade_g = rade.reshape(rade.shape[:-1] + (ng, _GROUP))
+    sig_g = rade_g.max(axis=-1)  # [..., NG]
+    coefm_g = coefm.reshape(gshape) * jnp.exp(rade_g - sig_g[..., None])
+
+    u = jnp.einsum("qn,qa,qb->nab", tz * w[:, None], t_cols, t_cols)
+    u = jnp.where(
+        jnp.asarray(lsum)[None] >= jnp.arange(n_bands)[:, None, None], u, 0.0
+    )
+    if pad:
+        u = jnp.concatenate(
+            [u, jnp.zeros((pad,) + u.shape[1:], dtype=u.dtype)], axis=0
+        )
+    u_g = u.reshape(ng, _GROUP, *u.shape[1:])  # [NG, G, H, H]
+
+    s_mat = jnp.take(rade, jnp.asarray(lsum), axis=-1)  # [..., H, H]
+    h_num = u.shape[-1]
+    batch = jnp.broadcast_shapes(coefm.shape[:-1], z.re.shape if isinstance(z, C) else z.shape)
+    acc0 = C.zeros(batch + (h_num, h_num), dtype=rdt)
+
+    coefm_steps = cplx.moveaxis(coefm_g, -2, 0)  # [NG, ..., G]
+    sig_steps = jnp.moveaxis(sig_g, -1, 0)  # [NG, ...]
+
+    def step(acc, xs):
+        u_gg, cm, sg = xs
+        t_g = C(
+            jnp.einsum("...n,nab->...ab", cm.re, u_gg),
+            jnp.einsum("...n,nab->...ab", cm.im, u_gg),
+        )
+        # groups fully above an entry's Gaunt cutoff have t_g == 0 there
+        # but sig_g - S can be hugely positive: clamp so 0 * exp stays 0
+        acc = acc + t_g * jnp.exp(
+            jnp.minimum(sg[..., None, None] - s_mat, 80.0)
+        )
+        return acc, None
+
+    acc, _ = jax.lax.scan(step, acc0, (u_g, coefm_steps, sig_steps))
+    mant = cplx.where(mask, acc * phase, C.of(0.0))
+    return mant, s_mat
+
+
+def sr_scaled(c, t_sph, n_end, k, kind="SR", t_cart=None, method=None):
+    """(mant, S) full translation operator; overflow-free in any dtype.
+
+    Dispatches like translation_matrix's stable paths: closed-form Graf
+    in 2D, rotation + group-scaled coaxial for 'b'-rooted trees.  Raises
+    NotImplementedError for trees the scaled path does not cover yet
+    (general band scan) — callers fall back to the unscaled operator.
+    """
+    if c.c_ndim == 2:
+        return graf_2d_scaled(c, t_sph, n_end, k, kind=kind)
+    if c.root.kind not in ("b", "bp"):
+        raise NotImplementedError(
+            "scaled translation requires a 2D or 'b'-rooted tree"
+        )
+    if t_cart is not None:
+        t_vec = jnp.moveaxis(jnp.asarray(t_cart), 0, -1)
+        r_t = jnp.linalg.norm(t_vec, axis=-1)
+        t_hat = t_vec / jnp.where(r_t > 0, r_t, 1.0)[..., None]
+    else:
+        from ..coords import to_cartesian
+
+        r_t = t_sph["r"]
+        t_cart_ = to_cartesian(c, {**t_sph, "r": jnp.ones_like(r_t)})
+        t_hat = jnp.moveaxis(t_cart_, 0, -1)
+    from ._rotation import _dedup_radii
+
+    uniq_r, inv = _dedup_radii(r_t, k)
+    if uniq_r is not None:
+        mant, s_mat = coaxial_scaled(c, uniq_r, n_end, k, kind=kind)
+        mant = mant[..., inv, :, :]
+        s_mat = s_mat[..., inv, :, :]
+    else:
+        mant, s_mat = coaxial_scaled(c, r_t, n_end, k, kind=kind)
+    rot = rotation_matrix(c, t_hat, n_end)
+    # S is constant on (degree-row x degree-col) blocks and the rotation
+    # is degree-block-diagonal: the sandwich applies to the mantissa.
+    tmp = cplx.einsum("...ij,...kj->...ik", mant, rot.conj())
+    return cplx.einsum("...ij,...jk->...ik", rot, tmp), s_mat

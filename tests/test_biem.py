@@ -340,3 +340,62 @@ def test_fused_eval_matches_general(rng):
     assert np.isnan(u_f[np.linalg.norm(x - np.array([[0.0], [2.0], [0.0]]), axis=0) < 1.0].real).all()
     ui = tonp(calc.uscat(jnp.asarray([[0.0], [2.0], [0.0]])))
     assert np.isnan(ui.real).all()
+
+
+def test_stable_f32_beyond_overflow():
+    # float32 solves used to NaN from n_end ~ k t_min + 20 (h_n overflow
+    # in assembly); the scale-compensated path (stable=None -> auto in
+    # f32) keeps any n_end finite and convergent.
+    c = create_from_branching_types("ba")
+    centers = jnp.asarray(np.array([[0.0, 2.0, 0.0], [0.0, -2.0, 0.0]], np.float32))
+    uin, _ = plane_wave(
+        k=jnp.float32(1.0), direction=jnp.asarray(np.array([1.0, 0.0, 0.0], np.float32))
+    )
+    calc = biem(
+        c, centers=centers, radii=jnp.ones(2, jnp.float32),
+        k=jnp.float32(1.0), n_end=32, uin=uin,
+    )
+    u = tonp(calc.uscat(jnp.zeros((3, 1), jnp.float32))).ravel()[0]
+    assert abs(u - (-0.741333 - 0.669657j)) < 2e-5
+
+    c2 = create_from_branching_types("a")
+    centers2 = jnp.asarray(np.array([[0.0, 2.0], [0.0, -2.0]], np.float32))
+    uin2, _ = plane_wave(
+        k=jnp.float32(1.0), direction=jnp.asarray(np.array([1.0, 0.0], np.float32))
+    )
+    calc2 = biem(
+        c2, centers=centers2, radii=jnp.ones(2, jnp.float32),
+        k=jnp.float32(1.0), n_end=128, uin=uin2,
+    )
+    u2 = tonp(calc2.uscat(jnp.zeros((2, 1), jnp.float32))).ravel()[0]
+    assert abs(u2 - (-1.355933 - 0.657813j)) < 1e-5
+
+    # single-sphere diagonal fast path, same overflow regime
+    calc3 = biem(
+        c, centers=jnp.zeros((1, 3), jnp.float32), radii=jnp.ones(1, jnp.float32),
+        k=jnp.float32(1.0), n_end=48, uin=uin,
+    )
+    u3 = tonp(calc3.uscat(jnp.asarray(np.array([[3.0], [0.0], [0.0]], np.float32)))).ravel()[0]
+    assert np.isfinite(u3)
+
+
+def test_stable_true_matches_unscaled_f64():
+    _, calc_p = _two_sphere_problem("ba", 8, k=1.3)
+    _, calc_s = _two_sphere_problem("ba", 8, k=1.3, stable=True)
+    ref = tonp(calc_p.density)
+    got = tonp(calc_s.density)
+    np.testing.assert_allclose(got, ref, atol=np.abs(ref).max() * 1e-10)
+
+
+def test_stable_f64_beyond_f64_overflow():
+    # 2D at n_end=512, k=1: |h_{2n}(kt)| needs exponents ~ e^3000 — even
+    # float64 assembly overflows; the scaled path stays finite and
+    # reproduces the converged golden value.
+    _, calc = _two_sphere_problem("a", 512, k=1.0, stable=True)
+    u = tonp(calc.uscat(jnp.zeros((2, 1)))).ravel()[0]
+    assert abs(u - (-1.355933 - 0.657813j)) < 1e-6, u
+
+
+def test_stable_unsupported_tree_raises():
+    with pytest.raises(ValueError):
+        _two_sphere_problem("caa", 4, stable=True)
