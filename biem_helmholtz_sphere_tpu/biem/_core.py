@@ -198,6 +198,85 @@ def _rhs_expansion(c, n_end, centers, radii, alpha, beta, uin, uin_grad, ndim_fi
     return cplx.moveaxis(f, 0, -2)  # [...first, B, H]
 
 
+def _rhs_plane_wave(c, n_end, centers, radii, alpha, beta, kw, direction,
+                    has_uin, has_grad):
+    r"""Closed-form boundary-data expansion for a plane wave: C [..., B, H].
+
+    From the d-dimensional plane-wave expansion (translation/_ops.py)
+    e^{i k x.d^} = A_d sum_h i^{n_h} j_{n_h}(k|x|) Y_h(x^) conj(Y_h(d^)),
+    the projection of u_in(c_b + rho_b y^) = e^{i k d^.c_b} e^{i k rho_b
+    y^.d^} onto conj(Y_h) is analytic:
+
+      f_h(b) = -A_d i^{n_h} e^{i k d^.c_b} conj(Y_h(d^))
+               (alpha_b j_{n_h}(k rho_b) + beta_b k j'_{n_h}(k rho_b))
+
+    replacing the S^{d-1} quadrature of `_rhs_expansion` (reference path:
+    _biem.py:611-639) with one harmonics evaluation at the single
+    direction d^ — exact (no quadrature aliasing) and ~0 cost; at the
+    n_end=32, B=16 bench the quadrature RHS was 29% of the per-k-point
+    wall time.  `kw`/`direction` are the wave's own (normalized) values
+    from the `plane_wave` factory tag; alpha/beta terms are included
+    exactly when the corresponding callable was passed, matching the
+    quadrature path's semantics.
+    """
+    from ..coords import from_cartesian
+    from ..harmonics._eval import harmonics
+    from ..translation._ops import _a_const
+
+    d = c.c_ndim
+    b_ = basis(c, n_end)
+    n_idx = jnp.asarray(b_.n_root)
+    j, jp, _, _ = spherical_jh_all(d, n_end, _k_mul(kw[..., None], radii))
+    jH = cplx.take(j, n_idx, axis=-1)
+    jpH = cplx.take(jp, n_idx, axis=-1)
+    term = C.of(0.0)
+    if has_uin:
+        term = term + alpha[..., None] * jH
+    if has_grad:
+        term = term + beta[..., None] * (jpH * kw[..., None, None])
+
+    sph = from_cartesian(c, direction)  # direction: [d, ...kw]
+    y_dir = harmonics(c, sph, n_end)  # C [...kw, H]
+    rdt = y_dir.re.dtype
+    n4 = np.asarray(b_.n_root) % 4
+    i_pow = C(
+        jnp.asarray(np.array([1.0, 0.0, -1.0, 0.0])[n4], rdt),
+        jnp.asarray(np.array([0.0, 1.0, 0.0, -1.0])[n4], rdt),
+    )
+    cy = y_dir.conj() * i_pow * (-_a_const(d))  # C [...kw, H]
+
+    centers_t = jnp.moveaxis(centers, -1, 0)  # [d, ..., B]
+    ip = (centers_t * direction[..., None]).sum(axis=0)  # [..., B]
+    if isinstance(kw, C):
+        phase = cplx.exp(kw[..., None] * ip * 1j)
+    else:
+        phase = cplx.expi(kw[..., None] * ip)
+    return (phase[..., None] * term) * cy[..., None, :]
+
+
+def _rhs_dispatch(c, n_end, centers, radii, alpha, beta, uin, uin_grad, ndim_first):
+    """RHS expansion with the analytic plane-wave fast path.
+
+    When both callables carry the SAME `_analytic` tag (i.e. both came
+    from one `plane_wave(...)` call), use the closed-form expansion;
+    otherwise fall back to the S^{d-1} quadrature projection.  Every
+    caller that builds the boundary-data RHS (biem() and the sharded
+    solver) must go through here so all paths agree bit-for-bit.
+    """
+    tag_u = getattr(uin, "_analytic", None)
+    tag_g = getattr(uin_grad, "_analytic", None)
+    tags = [t for f, t in ((uin, tag_u), (uin_grad, tag_g)) if f is not None]
+    if tags and all(t is tags[0] for t in tags) and tags[0] is not None:
+        _, kw, direction = tags[0]
+        return _rhs_plane_wave(
+            c, n_end, centers, radii, alpha, beta, kw, direction,
+            has_uin=uin is not None, has_grad=uin_grad is not None,
+        )
+    return _rhs_expansion(
+        c, n_end, centers, radii, alpha, beta, uin, uin_grad, ndim_first
+    )
+
+
 def _k_mul(k, x):
     return k * x  # works for real jnp k and C k alike
 
@@ -443,8 +522,19 @@ def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method, stable=Fals
     # distinct offset vectors and gather per pair.  (The offsets are
     # built in numpy: jnp ops on constants inside a trace yield tracers.)
     gather_pairs = None
-    if _is_concrete(centers) and centers.ndim == 2:
-        c_np = np.asarray(centers)
+    c_np = None
+    if _is_concrete(centers):
+        if centers.ndim == 2:
+            c_np = np.asarray(centers)
+        else:
+            # batched sweeps (leading k axes) usually replicate ONE
+            # geometry; collapse to 2-D when every batch slice agrees so
+            # the distinct-offset dedup still fires (the off-diagonal
+            # blocks then broadcast over the batch downstream).
+            c_all = np.asarray(centers).reshape((-1,) + centers.shape[-2:])
+            if (c_all == c_all[0]).all():
+                c_np = c_all[0]
+    if c_np is not None:
         t_np = np.round(c_np[bu] - c_np[bv], 12)
         uniq, inv = np.unique(t_np, axis=0, return_inverse=True)
         if len(uniq) < len(bu):
@@ -642,7 +732,7 @@ def biem(
                 "beta is not zero, but uin_grad is None. uin_grad must be "
                 "provided to compute the boundary condition."
             )
-        f_exp = _rhs_expansion(
+        f_exp = _rhs_dispatch(
             c, n_end, centers, radii, alpha, beta, uin, uin_grad, ndim_first
         )
 

@@ -60,6 +60,15 @@ def plane_wave(*, k, direction):
         # (i k) stays in real-pair form: C * real * 1j
         return _phase(ip)[None, ...] * dd * k * 1j
 
+    # Shared tag consumed by biem()'s analytic RHS fast path: the
+    # harmonic expansion of a plane wave over each sphere has a closed
+    # form (the d-dim plane-wave expansion, translation/_ops.py), so the
+    # boundary-data quadrature can be skipped entirely.  `biem` only
+    # trusts the tag when uin/uin_grad carry the SAME tuple (i.e. both
+    # came from one plane_wave(...) call).
+    tag = ("plane_wave", k, direction)
+    uin._analytic = tag
+    uin_grad._analytic = tag
     return uin, uin_grad
 
 

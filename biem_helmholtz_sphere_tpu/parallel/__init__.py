@@ -141,7 +141,7 @@ def sharded_solve(
     """
     from jax.lax import with_sharding_constraint
 
-    from ..biem._core import _assemble, _check_biem_inputs, _rhs_expansion
+    from ..biem._core import _assemble, _check_biem_inputs, _rhs_dispatch
     from ..ops import cplx
     from ..ops.cplx import C
 
@@ -161,7 +161,7 @@ def sharded_solve(
         centers_c, radii_c, k_c, eta_c, alpha_c, beta_c = _check_biem_inputs(
             c, centers_, radii_, k_, eta_in, alpha, beta
         )
-        f = _rhs_expansion(
+        f = _rhs_dispatch(
             c,
             n_end,
             centers_c,

@@ -85,7 +85,7 @@ def _upward(base, n_top, f0, f1, z):
         return (fn, fp), fp
 
     ns = jnp.arange(1, n_top, dtype=z.re.dtype)
-    (_, _), rest = jax.lax.scan(step, (f0, f1), ns)
+    (_, _), rest = jax.lax.scan(step, (f0, f1), ns, unroll=8)
     return _stack_orders([f0, f1], rest)
 
 
@@ -114,7 +114,7 @@ def _miller_down(base, n_max, z):
     one = C.of(jnp.ones_like(z.re))
     sig0 = jnp.zeros_like(z.re)
     ns = jnp.arange(n_start, 0, -1, dtype=z.re.dtype)
-    (_, _, _), (fs, sigs) = jax.lax.scan(step, (zero, one, sig0), ns)
+    (_, _, _), (fs, sigs) = jax.lax.scan(step, (zero, one, sig0), ns, unroll=8)
     fs = cplx.moveaxis(fs, 0, -1)[..., ::-1]
     sigs = jnp.moveaxis(sigs, 0, -1)[..., ::-1]
     return fs[..., : n_max + 1], sigs[..., : n_max + 1]
@@ -175,7 +175,7 @@ def _upward_scaled(base, n_top, f0, f1, z):
         return (fn2, fp2, e2), (fp2, e2)
 
     ns = jnp.arange(1, n_top, dtype=z.re.dtype)
-    (_, _, _), (rest, e_rest) = jax.lax.scan(step, (f0, f1, zero_e), ns)
+    (_, _, _), (rest, e_rest) = jax.lax.scan(step, (f0, f1, zero_e), ns, unroll=8)
     mant = _stack_orders([f0, f1], rest)
     e = jnp.concatenate(
         [zero_e[..., None], zero_e[..., None], jnp.moveaxis(e_rest, 0, -1)],

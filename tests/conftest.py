@@ -18,6 +18,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")  # env var alone is overridden under axon
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: the suite is compile-dominated (x64 CPU
+# recompiles every jitted shape each run); cached reruns are many times
+# faster.  Separate dir from the TPU cache (.jax_cache) to avoid churn.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -399,3 +399,68 @@ def test_stable_f64_beyond_f64_overflow():
 def test_stable_unsupported_tree_raises():
     with pytest.raises(ValueError):
         _two_sphere_problem("caa", 4, stable=True)
+
+
+@pytest.mark.parametrize("btype", ["a", "ba", "caa"])
+@pytest.mark.parametrize("ab", [(1.0, 0.0), (0.0, 1.0), (1.0, 0.5)])
+def test_analytic_plane_wave_rhs_matches_quadrature(btype, ab):
+    # plane_wave-tagged callables take the closed-form RHS path; wrapping
+    # the closures (tag stripped) forces the quadrature projection.  The
+    # two must agree to quadrature-truncation accuracy.
+    alpha, beta = ab
+    c = create_from_branching_types(btype)
+    d = c.c_ndim
+    centers = np.zeros((2, d))
+    centers[0, 1] = 2.2
+    centers[1, 1] = -1.9
+    direction = np.zeros(d)
+    direction[0] = 2.0
+    direction[1] = -1.0
+    k = jnp.asarray(1.3)
+    uin, uin_grad = plane_wave(k=k, direction=jnp.asarray(direction))
+
+    def solve(u, ug):
+        return biem(
+            c,
+            centers=jnp.asarray(centers),
+            radii=jnp.asarray([1.0, 0.7]),
+            k=k,
+            n_end=8,
+            alpha=alpha,
+            beta=beta,
+            uin=u if alpha else None,
+            uin_grad=ug if beta else None,
+        )
+
+    calc_a = solve(uin, uin_grad)
+    calc_q = solve(
+        lambda x, /: uin(x), lambda x, /: uin_grad(x)  # tags stripped
+    )
+    ref = tonp(calc_q.density)
+    got = tonp(calc_a.density)
+    np.testing.assert_allclose(got, ref, atol=np.abs(ref).max() * 1e-6)
+
+
+def test_analytic_plane_wave_rhs_batched_k():
+    # leading k batch axis broadcasts through the analytic RHS too
+    c = create_from_branching_types("ba")
+    ks = jnp.asarray(np.linspace(0.8, 1.4, 3))
+    dirs = jnp.broadcast_to(
+        jnp.asarray(np.array([1.0, 0.0, 0.0]))[:, None], (3, 3)
+    )
+    uin, _ = plane_wave(k=ks, direction=dirs)
+    centers = jnp.asarray(np.array([[0.0, 2.0, 0.0], [0.0, -2.0, 0.0]]))
+    calc = biem(
+        c, centers=jnp.broadcast_to(centers, (3, 2, 3)),
+        radii=jnp.ones((3, 2)), k=ks, n_end=6, uin=uin,
+    )
+    u = tonp(calc.uscat(jnp.zeros((3, 1)), expand_x=True))[0]  # [points, kbatch]
+    # middle entry == unbatched solve at that k
+    uin1, _ = plane_wave(
+        k=ks[1], direction=jnp.asarray(np.array([1.0, 0.0, 0.0]))
+    )
+    calc1 = biem(
+        c, centers=centers, radii=jnp.ones(2), k=ks[1], n_end=6, uin=uin1
+    )
+    u1 = tonp(calc1.uscat(jnp.zeros((3, 1))))
+    np.testing.assert_allclose(u[1], u1, rtol=2e-6)
