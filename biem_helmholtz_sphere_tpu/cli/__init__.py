@@ -86,6 +86,13 @@ def main(argv=None):
     ap.add_argument("--k-max-log2", type=float, default=6.0)
     ap.add_argument("--n-end-max-log2", type=float, default=7.0)
     ap.add_argument("--n-balls-max-log4", type=int, default=3)
+    ap.add_argument(
+        "--k-block",
+        type=int,
+        default=1,
+        help="solve this many k-points per batched call (one compiled "
+        "program, leading batch axis; raises peak memory by the factor)",
+    )
 
     pp = sub.add_parser("plot-accuracy", help="error heatmaps from accuracy CSVs")
     pp.add_argument("--out-dir", default="accuracy")
@@ -141,6 +148,7 @@ def main(argv=None):
             k_max_log2=args.k_max_log2,
             n_end_max_log2=args.n_end_max_log2,
             n_balls_max_log4=args.n_balls_max_log4,
+            k_block=args.k_block,
         )
     elif args.cmd == "plot-accuracy":
         from ._accuracy import plot_accuracy

@@ -52,6 +52,7 @@ def run_accuracy(
     k_max_log2=6.0,
     n_end_max_log2=7.0,
     n_balls_max_log4=3,
+    k_block=1,
 ):
     import jax.numpy as jnp
 
@@ -92,11 +93,19 @@ def run_accuracy(
             dir_j = jnp.asarray(direction)
 
             def fn(k):
-                uin, _ = plane_wave(k=k, direction=dir_j)
+                # plane_wave wants direction [d, ...k-batch]
+                dir_b = jnp.broadcast_to(
+                    dir_j.reshape((d,) + (1,) * k.ndim), (d,) + k.shape
+                )
+                uin, _ = plane_wave(k=k, direction=dir_b)
+                # batch-rank agreement: centers/radii carry the k batch
+                nb = len(centers_j)
                 calc = biem(
                     c,
-                    centers=centers_j,
-                    radii=radii_j,
+                    centers=jnp.broadcast_to(
+                        centers_j, k.shape + (nb, d)
+                    ),
+                    radii=jnp.broadcast_to(radii_j, k.shape + (nb,)),
                     k=k,
                     n_end=n_end,
                     uin=uin,
@@ -105,41 +114,67 @@ def run_accuracy(
 
             return jax.jit(fn)
 
-        def run_row(btype, mode_, step, k, n_balls, n_end):
+        def run_block(btype, mode_, step, ks, n_balls, n_end):
+            """Solve a block of k values in ONE batched call (leading k
+            axis broadcasts through assembly/solve/eval; the batched
+            GMRES iterates each system independently) and write one CSV
+            row per k.  Per-row wall time is the block time / block size.
+            """
             t0 = time.perf_counter()
             try:
-                dens, u0c = step(jnp.asarray(float(k)))
+                if len(ks) == 1:
+                    dens, u0c = step(jnp.asarray(float(ks[0])))
+                else:
+                    dens, u0c = step(jnp.asarray(np.asarray(ks, np.float64)))
                 dens = to_numpy(dens)
-                if np.any(np.isnan(dens)):
-                    raise ValueError("density contains NaN")
-                u0 = complex(to_numpy(u0c).reshape(-1)[0])
-                if np.isnan(u0.real) or np.isnan(u0.imag):
-                    raise ValueError("uscat contains NaN")
-                wr.writerow(
-                    [
+                u0s = to_numpy(u0c).reshape(len(ks), -1)[:, 0] if len(
+                    ks
+                ) > 1 else to_numpy(u0c).reshape(1, -1)[:, 0]
+                per_k = round((time.perf_counter() - t0) / len(ks), 4)
+            except Exception as e:
+                for k in ks:
+                    log.warning(
+                        "accuracy %s B=%d k=%g n_end=%d failed: %s",
                         btype,
-                        mode_,
                         n_balls,
                         k,
                         n_end,
-                        u0.real,
-                        u0.imag,
-                        round(time.perf_counter() - t0, 3),
-                    ]
-                )
-                fh.flush()
-                log.debug(
-                    "%s B=%d k=%g n_end=%d -> %s", btype, n_balls, k, n_end, u0
-                )
-            except Exception as e:
-                log.warning(
-                    "accuracy %s B=%d k=%g n_end=%d failed: %s",
-                    btype,
-                    n_balls,
-                    k,
-                    n_end,
-                    e,
-                )
+                        e,
+                    )
+                return
+            dens = dens.reshape(len(ks), -1)
+            for i, k in enumerate(ks):
+                try:
+                    if np.any(np.isnan(dens[i])):
+                        raise ValueError("density contains NaN")
+                    u0 = complex(u0s[i])
+                    if np.isnan(u0.real) or np.isnan(u0.imag):
+                        raise ValueError("uscat contains NaN")
+                    wr.writerow(
+                        [
+                            btype,
+                            mode_,
+                            n_balls,
+                            k,
+                            n_end,
+                            u0.real,
+                            u0.imag,
+                            per_k,
+                        ]
+                    )
+                    fh.flush()
+                    log.debug(
+                        "%s B=%d k=%g n_end=%d -> %s", btype, n_balls, k, n_end, u0
+                    )
+                except Exception as e:
+                    log.warning(
+                        "accuracy %s B=%d k=%g n_end=%d failed: %s",
+                        btype,
+                        n_balls,
+                        k,
+                        n_end,
+                        e,
+                    )
 
         try:
             from tqdm import tqdm
@@ -162,8 +197,11 @@ def run_accuracy(
                     except Exception as e:  # pragma: no cover
                         log.warning("compile n_end=%d failed: %s", n_end, e)
                         continue
-                    for k in kvals:
-                        run_row(btype, mode, step, k, 2, n_end)
+                    blk = max(1, int(k_block))
+                    for i0 in range(0, len(kvals), blk):
+                        run_block(
+                            btype, mode, step, kvals[i0 : i0 + blk], 2, n_end
+                        )
             else:
                 lattices = [
                     lattice_centers(2 * 2**m, d)
@@ -176,7 +214,7 @@ def run_accuracy(
                         except Exception as e:  # pragma: no cover
                             log.warning("compile failed: %s", e)
                             continue
-                        run_row(btype, mode, step, 1.0, len(centers), n_end)
+                        run_block(btype, mode, step, [1.0], len(centers), n_end)
     log.info("appended to %s", path)
     return path
 

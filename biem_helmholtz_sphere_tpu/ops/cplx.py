@@ -369,7 +369,7 @@ def solve(a, b):
     return C(x[..., :n], x[..., n:])
 
 
-def gmres_solve_op(mv, diag, b, tol=None, restart=24, maxiter=20):
+def gmres_solve_op(mv, diag, b, tol=None, restart=None, maxiter=20):
     """Solve A x = b by Jacobi-preconditioned GMRES for a C-linear
     operator given as a callable `mv` (C -> C) with diagonal `diag`.
 
@@ -378,42 +378,162 @@ def gmres_solve_op(mv, diag, b, tol=None, restart=24, maxiter=20):
     iterations; each iteration is one matvec — MXU work with no LU at
     all.  This also sidesteps the XLA TPU LuDecompositionBlock VMEM
     limit (the block-LU custom call overflows scoped vmem for N >~ 18k
-    rows).  GMRES runs in the real pair space (the jax pytree inner
-    product over (re, im) is the real embedding of the complex inner
-    product), which is a valid Krylov method for the C-linear operator.
+    rows).
+
+    Hand-rolled (not jax.scipy's): Arnoldi with CGS2 orthogonalization
+    and complex Givens rotations on the Hessenberg, inside a
+    `lax.while_loop` that exits the moment the rotation-carried residual
+    estimate passes tol — the dominant cost is the matvec (one full read
+    of the matrix from HBM), and jax's "batched" GMRES always runs whole
+    restart cycles (~1.5x the necessary matvecs at the bench config).
+    Leading batch axes of `b` are solved as independent systems (per-
+    system inner products and rotations); iteration continues until the
+    slowest system converges.
+
+    tol is relative to ||M^-1 b||; maxiter counts restart cycles, each
+    of `restart` (default: f32 40 / f64 64) Krylov steps at most — one
+    cycle normally suffices since the basis is sized past the observed
+    iteration counts, and an unused basis slot costs nothing.
     """
-    import jax.scipy.sparse.linalg as spla
-
     b = C.of(b)
+    rdt = b.re.dtype
+    f32 = jnp.finfo(rdt).bits == 32
     if tol is None:
-        # float32 floor: Jacobi-preconditioned restarted GMRES stalls
-        # around 3e-6 relative residual at bench scale (BENCH_NOTES.md);
-        # a tol below the floor burns every restart cycle for nothing
-        # (the batched mode only checks convergence between cycles).
-        tol = 1e-5 if jnp.finfo(b.re.dtype).bits == 32 else 1e-11
+        # float32 floor: Jacobi-preconditioned GMRES stalls around 3e-6
+        # relative residual at bench scale (BENCH_NOTES.md); 3e-5 sits
+        # well under the f32 matmul-precision BC-residual floor (~8e-5).
+        tol = 3e-5 if f32 else 1e-11
+    m = restart if restart is not None else (40 if f32 else 64)
+    return _gmres_cgs2(mv, C.of(diag), b, tol, m, maxiter)
 
-    def precond(x):
-        return x / diag
 
-    # restart=24 measured fastest at the bench config (0.224 s vs 0.354 s
-    # per k-point at restart=48; the second-kind system converges within
-    # ~2 cycles to 6e-7 true residual).  maxiter counts restart CYCLES in
-    # batched mode and convergence is checked between cycles, so a
-    # generous ceiling costs nothing once converged.
-    x, _ = spla.gmres(
-        mv,
-        b,
-        tol=tol,
-        atol=0.0,
-        restart=restart,
-        maxiter=maxiter,
-        M=precond,
-        solve_method="batched",
-    )
+def _gmres_cgs2(mv, diag, b, tol, m, maxiter):
+    """Left-Jacobi-preconditioned restarted GMRES(m), batched over the
+    leading axes of b; see gmres_solve_op."""
+    rdt = b.re.dtype
+    batch = b.shape[:-1]
+    nb = len(batch)
+    tiny = float(np.finfo(np.dtype(rdt)).tiny) ** 0.5
+
+    def pre_mv(x):
+        return mv(x) / diag
+
+    def inv_or_zero(a):
+        return jnp.where(a > tiny, 1.0 / jnp.maximum(a, tiny), 0.0)
+
+    b_pre = b / diag
+    bnorm = jnp.sqrt(b_pre.abs2().sum(axis=-1))  # [batch]
+    target = jnp.asarray(tol, rdt) * bnorm
+
+    col = (slice(None),) + (None,) * nb  # lift [m+1] masks over batch
+
+    def cycle(x):
+        r = b_pre - pre_mv(x)
+        beta = jnp.sqrt(r.abs2().sum(-1))  # [batch]
+        v0 = r * inv_or_zero(beta)[..., None]
+        V = C.zeros((m + 1,) + b.shape, rdt).at_set((0,), v0)
+        R = C.zeros((m, m) + batch, rdt)  # R[col, row]
+        g = C.zeros((m + 1,) + batch, rdt).at_set((0,), C.of(beta))
+        # accumulated product of the Givens rotations applied so far
+        # (each G_i = [[u, v], [-v, conj(u)]] on rows (i, i+1)); applying
+        # it to a new Hessenberg column is ONE tiny [m+1, m+1] matvec
+        # instead of a j-step sequential loop.
+        eye = jnp.eye(m + 1, dtype=rdt)
+        Q = C(
+            jnp.broadcast_to(eye.reshape((m + 1, m + 1) + (1,) * nb),
+                             (m + 1, m + 1) + batch),
+            jnp.zeros((m + 1, m + 1) + batch, rdt),
+        )
+
+        def proj(V, w, mask):
+            # one classical Gram-Schmidt pass against rows 0..j of V
+            hr = (V.re * w.re + V.im * w.im).sum(-1) * mask
+            hi = (V.re * w.im - V.im * w.re).sum(-1) * mask
+            h = C(hr, hi)  # [m+1, batch]
+            w2 = w - C(
+                (hr[..., None] * V.re - hi[..., None] * V.im).sum(0),
+                (hr[..., None] * V.im + hi[..., None] * V.re).sum(0),
+            )
+            return h, w2
+
+        def body(st):
+            j, V, R, g, Q, _ = st
+            w = pre_mv(V[j])
+            mask = (jnp.arange(m + 1) <= j).astype(rdt)[col]
+            h1, w = proj(V, w, mask)
+            h2, w = proj(V, w, mask)  # CGS2: reorthogonalize once
+            h = h1 + h2  # [m+1, batch]
+            hn = jnp.sqrt(w.abs2().sum(-1))  # [batch]
+            V = V.at_set((j + 1,), w * inv_or_zero(hn)[..., None])
+            # rotate the new column by the accumulated rotations
+            hr = C(
+                (Q.re * h.re[None] - Q.im * h.im[None]).sum(1),
+                (Q.re * h.im[None] + Q.im * h.re[None]).sum(1),
+            )
+            # new rotation eliminating (hr[j], hn) -> (rr, 0)
+            a = hr[j]
+            rr = jnp.sqrt(a.abs2() + hn * hn)
+            inv_r = inv_or_zero(rr)
+            uj = where(rr > tiny, a.conj() * inv_r, C.of(jnp.ones_like(rr)))
+            vj = hn * inv_r
+            Qj, Qj1 = Q[j], Q[j + 1]
+            Q = Q.at_set((j,), uj * Qj + vj * Qj1).at_set(
+                (j + 1,), Qj1 * uj.conj() - Qj * vj
+            )
+            R = R.at_set((j,), hr.at_set((j,), C.of(rr))[:m])
+            gj = g[j]
+            g = g.at_set((j,), uj * gj).at_set((j + 1,), gj * (-vj))
+            return j + 1, V, R, g, Q, jnp.sqrt((gj * (-vj)).abs2())
+
+        def cond(st):
+            j, _, _, _, _, resid = st
+            return (j < m) & jnp.any(resid > target)
+
+        st = (0, V, R, g, Q, beta)
+        j_f, V, R, g, Q, resid = jax.lax.while_loop(cond, body, st)
+
+        # back-substitution on the rotated (upper-triangular) system;
+        # columns >= j_f get unit diagonal and zero rhs so y there is 0.
+        valid = (jnp.arange(m) < j_f).astype(rdt)[col]
+        gm = g[:m] * valid
+
+        def back(i, y):
+            l = m - 1 - i
+            Rrow = R[:, l]  # C [m(col), batch]
+            pmask = (jnp.arange(m) > l).astype(rdt)[col]
+            s = C(
+                (pmask * (Rrow.re * y.re - Rrow.im * y.im)).sum(0),
+                (pmask * (Rrow.re * y.im + Rrow.im * y.re)).sum(0),
+            )
+            rll = Rrow[l]
+            rll = where(l < j_f, rll, C.of(jnp.ones_like(rll.re)))
+            scale = inv_or_zero(jnp.sqrt(rll.abs2()))
+            yl = (gm[l] - s) * (rll.conj() * (scale * scale))
+            return y.at_set((l,), yl)
+
+        y = jax.lax.fori_loop(0, m, back, C.zeros((m,) + batch, rdt))
+        corr = C(
+            (y.re[..., None] * V.re[:m] - y.im[..., None] * V.im[:m]).sum(0),
+            (y.re[..., None] * V.im[:m] + y.im[..., None] * V.re[:m]).sum(0),
+        )
+        return x + corr, resid
+
+    def obody(st):
+        x, it, _ = st
+        x2, resid = cycle(x)
+        return x2, it + 1, resid
+
+    def ocond(st):
+        _, it, resid = st
+        return (it < maxiter) & jnp.any(resid > target)
+
+    x0 = C.zeros(b.shape, rdt)
+    inf0 = jnp.full(batch, np.inf, rdt)
+    x, _, _ = jax.lax.while_loop(ocond, obody, (x0, 0, inf0))
     return x
 
 
-def gmres_solve(a, b, tol=None, restart=24, maxiter=20):
+def gmres_solve(a, b, tol=None, restart=None, maxiter=20):
     """GMRES on an explicitly assembled dense C matrix (see
     gmres_solve_op for the method)."""
     a = C.of(a)

@@ -126,3 +126,41 @@ def test_broadcast_mixed_shapes():
     b = a + 1.0
     assert b.re.shape == (3, 1) and b.im.shape == (3, 1)
     assert a.shape == (3, 1)
+
+
+def test_gmres_dense_matches_direct(rng):
+    # hand-rolled CGS2+Givens GMRES (gmres_solve) against the LU solve,
+    # well-conditioned (diagonally dominant) complex system
+    n = 60
+    a = (
+        rng.normal(size=(n, n))
+        + 1j * rng.normal(size=(n, n))
+        + np.eye(n) * (2.5 * np.sqrt(n) + 2j)
+    )
+    b = rng.normal(size=(n,)) + 1j * rng.normal(size=(n,))
+    ac = C(jnp.asarray(a.real), jnp.asarray(a.imag))
+    bc = C(jnp.asarray(b.real), jnp.asarray(b.imag))
+    xe = np.linalg.solve(a, b)
+    x = cplx.gmres_solve(ac, bc)
+    np.testing.assert_allclose(x.to_numpy(), xe, atol=np.abs(xe).max() * 1e-9)
+
+
+def test_gmres_batched_restarted_jit(rng):
+    # leading batch axes are independent systems; a tiny basis forces
+    # multiple restart cycles; everything under jit
+    a = (
+        rng.normal(size=(3, 30, 30))
+        + 1j * rng.normal(size=(3, 30, 30))
+        + np.eye(30) * (15 + 1j)
+    )
+    b = rng.normal(size=(3, 30)) + 1j * rng.normal(size=(3, 30))
+    ac = C(jnp.asarray(a.real), jnp.asarray(a.imag))
+    bc = C(jnp.asarray(b.real), jnp.asarray(b.imag))
+    xe = np.linalg.solve(a, b[..., None])[..., 0]
+    x = jax.jit(lambda A, B: cplx.gmres_solve(A, B, restart=8, maxiter=60))(
+        ac, bc
+    )
+    np.testing.assert_allclose(x.to_numpy(), xe, atol=np.abs(xe).max() * 1e-9)
+    # zero rhs -> exactly zero solution, no NaN from 0/0 guards
+    x0 = cplx.gmres_solve(ac, C.zeros((3, 30), jnp.float64))
+    assert float(np.abs(x0.to_numpy()).max()) == 0.0

@@ -55,6 +55,39 @@ def test_accuracy_sweep_and_heatmap(tmp_path):
     assert all(os.path.exists(p) for p in out)
 
 
+def test_accuracy_sweep_k_block_matches_scalar(tmp_path):
+    # k_block > 1 solves k-points through one batched call; rows must
+    # match the scalar sweep to solver precision
+    from biem_helmholtz_sphere_tpu.cli._accuracy import run_accuracy
+
+    import pandas as pd
+
+    p1 = run_accuracy(
+        str(tmp_path / "scalar"),
+        branching_types=["a"],
+        mode="k",
+        k_max_log2=1.0,
+        n_end_max_log2=1.0,
+    )
+    p2 = run_accuracy(
+        str(tmp_path / "blocked"),
+        branching_types=["a"],
+        mode="k",
+        k_max_log2=1.0,
+        n_end_max_log2=1.0,
+        k_block=2,
+    )
+    d1 = pd.read_csv(p1).sort_values(["n_end", "k"]).reset_index(drop=True)
+    d2 = pd.read_csv(p2).sort_values(["n_end", "k"]).reset_index(drop=True)
+    assert len(d1) == len(d2)
+    np.testing.assert_allclose(
+        d2["uscat_real"], d1["uscat_real"], rtol=0, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        d2["uscat_imag"], d1["uscat_imag"], rtol=0, atol=1e-8
+    )
+
+
 def test_jascome_and_clean(tmp_path):
     from biem_helmholtz_sphere_tpu.cli._jascome import clean_jascome, run_jascome
 
