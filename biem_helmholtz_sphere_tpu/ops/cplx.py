@@ -456,8 +456,8 @@ def _gmres_cgs2(mv, diag, b, tol, m, maxiter):
             )
             return h, w2
 
-        def body(st):
-            j, V, R, g, Q, _ = st
+        def step_work(st, j):
+            V, R, g, Q, _ = st
             w = pre_mv(V[j])
             mask = (jnp.arange(m + 1) <= j).astype(rdt)[col]
             h1, w = proj(V, w, mask)
@@ -483,14 +483,28 @@ def _gmres_cgs2(mv, diag, b, tol, m, maxiter):
             R = R.at_set((j,), hr.at_set((j,), C.of(rr))[:m])
             gj = g[j]
             g = g.at_set((j,), uj * gj).at_set((j + 1,), gj * (-vj))
-            return j + 1, V, R, g, Q, jnp.sqrt((gj * (-vj)).abs2())
+            return V, R, g, Q, jnp.sqrt((gj * (-vj)).abs2())
 
-        def cond(st):
-            j, _, _, _, _, resid = st
-            return (j < m) & jnp.any(resid > target)
+        def step(st, j):
+            # fixed-trip scan (the compile shape XLA handles best here);
+            # once EVERY system is converged the whole step body — matvec
+            # included — is skipped at runtime via cond, so the scan
+            # costs per-step dispatch only beyond the exit point.
+            resid = st[-1]
+            st2 = jax.lax.cond(
+                jnp.any(resid > target), lambda: step_work(st, j), lambda: st
+            )
+            return st2, resid
 
-        st = (0, V, R, g, Q, beta)
-        j_f, V, R, g, Q, resid = jax.lax.while_loop(cond, body, st)
+        st = (V, R, g, Q, beta)
+        (V, R, g, Q, resid), resids = jax.lax.scan(step, st, jnp.arange(m))
+        # number of steps that actually ran: resids[i] is the estimate
+        # BEFORE step i; a step runs iff any system was unconverged then
+        # (monotone: once all converged, every later step is skipped)
+        ran = jnp.any(
+            resids.reshape(m, -1) > target.reshape(1, -1), axis=1
+        )
+        j_f = jnp.sum(ran.astype(jnp.int32))
 
         # back-substitution on the rotated (upper-triangular) system;
         # columns >= j_f get unit diagonal and zero rhs so y there is 0.
