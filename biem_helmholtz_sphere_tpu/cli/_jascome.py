@@ -49,7 +49,9 @@ def run_jascome(out_dir, n_end_max=9, btypes=None):
                 import matplotlib.pyplot as plt
 
                 ax = c.draw()
-                ax.figure.savefig(f"{btype}.svg")
+                # SVGs land next to the CSV (reference cli.py:70-73 wrote
+                # to CWD, which pollutes the repo when tests run)
+                ax.figure.savefig(os.path.join(out_dir, f"{btype}.svg"))
                 plt.close(ax.figure)
             except Exception as e:  # pragma: no cover
                 log.warning("tree drawing failed for %s: %s", btype, e)
