@@ -18,9 +18,25 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 import json
 import os
 import re
+import signal
+import sys
 import time
 
 import numpy as np
+
+# Watchdog: the axon TPU tunnel can wedge (a stuck remote compile blocks
+# even device enumeration indefinitely).  Fail loudly instead of hanging
+# the caller; normal runs finish in ~2-4 min including first compiles.
+_WATCHDOG_S = 1500
+
+
+def _watchdog(signum, frame):
+    print(
+        "bench.py watchdog: no result after "
+        f"{_WATCHDOG_S}s (TPU backend wedged?); aborting",
+        file=sys.stderr,
+    )
+    os._exit(1)
 
 N_END = 32
 N_SIDE = 4  # 4x4 lattice -> 16 balls
@@ -59,6 +75,8 @@ def lattice_centers(n_side, spacing, d=3):
 
 
 def main():
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(_WATCHDOG_S)
     import jax
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
