@@ -496,20 +496,21 @@ def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method, stable=Fals
     )
     rdt = blc_col.dtype
 
-    # diagonal blocks: delta_{hh'} blc_col[b,h'] sing_row[b,h]
-    eye_h = jnp.eye(h_num, dtype=rdt)
+    # diagonal blocks: delta_{hh'} blc_col[b,h'] sing_row[b,h] — written
+    # as a per-entry scatter to the (b, h, b, h) positions (an explicit
+    # eye_h would embed/fold an O(H^2) constant per compile)
     a = C.zeros(batch + (n_balls, h_num, n_balls, h_num), dtype=rdt)
     if stable:
         diag_v = (sing_row * blc_col) * jnp.exp(e_sing + e_blc)
-        diag = diag_v[..., :, :, None] * eye_h  # C [..., B, H, H']
     else:
-        diag = (sing_row * blc_col)[..., :, :, None] * eye_h
+        diag_v = sing_row * blc_col
     bidx = np.arange(n_balls)
-    diag = cplx.broadcast_to(diag, batch + (n_balls, h_num, h_num))
-    # separated advanced indices put the index axis FIRST in numpy semantics
+    b2 = bidx[:, None]  # [B, 1]
+    h2 = np.arange(h_num)[None, :]  # [1, H]
+    # contiguous advanced indices broadcast to [B, H] in place
     a = a.at_set(
-        (Ellipsis, bidx, slice(None), bidx, slice(None)),
-        cplx.moveaxis(diag, -3, 0),
+        (Ellipsis, b2, h2, b2, h2),
+        cplx.broadcast_to(diag_v, batch + (n_balls, h_num)),
     )
     if n_balls == 1:
         return a
@@ -607,10 +608,11 @@ def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method, stable=Fals
         if stable:
             sr_e = sr_e[..., gather_pairs, :, :]
 
-    par = jnp.asarray(
-        (-1.0) ** (b_.n_root[:, None].astype(np.int64) + b_.n_root[None, :]),
-        dtype=rdt,
-    )
+    # mirror-block parity (-1)^(n_h + n_h') is rank-1: s_h s_h' with
+    # s = (-1)^n — fold it into the row/column factors instead of
+    # multiplying by an [H, H] table (whose embedding + constant folding
+    # costs O(H^2) compile memory/time)
+    sgn = jnp.asarray(1.0 - 2.0 * (b_.n_root % 2), dtype=rdt)
 
     # A[b, h, b', h'] = blc_col[b', h'] * SR(c_b - c_b')[h, h'] * reg_row[b, h]
     if stable:
@@ -624,11 +626,17 @@ def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method, stable=Fals
         )
         up = (reg_row[..., bu, :, None] * sr_up * blc_col[..., bv, None, :]) * ex_up
         down = (
-            reg_row[..., bv, :, None] * (sr_up * par) * blc_col[..., bu, None, :]
+            (reg_row[..., bv, :, None] * sgn[:, None])
+            * sr_up
+            * (blc_col[..., bu, None, :] * sgn[None, :])
         ) * ex_dn
     else:
         up = reg_row[..., bu, :, None] * sr_up * blc_col[..., bv, None, :]
-        down = reg_row[..., bv, :, None] * (sr_up * par) * blc_col[..., bu, None, :]
+        down = (
+            (reg_row[..., bv, :, None] * sgn[:, None])
+            * sr_up
+            * (blc_col[..., bu, None, :] * sgn[None, :])
+        )
     up = cplx.broadcast_to(up, batch + up.shape[-3:])
     down = cplx.broadcast_to(down, batch + down.shape[-3:])
     a = a.at_set(

@@ -256,6 +256,21 @@ def ipow(n):
     return C(jnp.asarray(re), jnp.asarray(im))
 
 
+def ipow_device(n, dtype=jnp.float32):
+    """i**n for an int jnp array, computed on device.
+
+    Use instead of `ipow` when n is large (e.g. [H]-sized inside a jit):
+    host-numpy ipow embeds O(size) f32 literals in the executable, and
+    anything derived from them is constant-folded at compile time —
+    [H, H] phase tables cost O(H^2) compile memory/time that way."""
+    m = jnp.asarray(n) % 4
+    one = jnp.asarray(1.0, dtype)
+    zero = jnp.asarray(0.0, dtype)
+    re = jnp.where(m == 0, one, jnp.where(m == 2, -one, zero))
+    im = jnp.where(m == 1, one, jnp.where(m == 3, -one, zero))
+    return C(re, im)
+
+
 def sqrt(z):
     """Principal square root of C z."""
     z = C.of(z)

@@ -81,15 +81,16 @@ def _quad_tables_impl(c, n_out, n_in, _x64):
         s_cart = to_cartesian(c, sph_j, include_r=False)
         bo = basis(c, n_out)
         bi = basis(c, n_in)
-        phase = cplx.ipow(bo.n_root[:, None].astype(np.int64) - bi.n_root[None, :])
+        # the i^{n_o - n_i} phase is applied separably (row x col) by the
+        # consumers from these [H] degree vectors — an [Ho, Hi] phase
+        # constant costs O(H^2) compile memory/folding time
         out = (
             jnp.asarray(w),
             yo.conj(),
             yi,
             s_cart,
-            phase,
-            bo.n_root,
-            bi.n_root,
+            jnp.asarray(bo.n_root, dtype=jnp.int32),
+            jnp.asarray(bi.n_root, dtype=jnp.int32),
         )
     return out
 
@@ -145,12 +146,21 @@ def _diag_contract(band, yoc, yi):
 def _sr_banded(c, t_sph, n_out, n_in, k, kind, use_pallas=False):
     """Masked band-accumulation (S|R) (or (R|R)) for d >= 3."""
     d = c.c_ndim
-    w, yoc, yi, s_cart, phase, n_o, n_i = _quad_tables(c, n_out, n_in)
+    w, yoc, yi, s_cart, n_o, n_i = _quad_tables(c, n_out, n_in)
     r_t = t_sph["r"]
     rdt = _real_dtype_of(k, r_t)
     w = w.astype(rdt)
     yoc = yoc.astype(rdt)
     yi = yi.astype(rdt)
+    # separable i^{n_o - n_i} phase + Gaunt cutoff, built on device from
+    # the barriered [H] degree vectors (keeps the constant folder away
+    # from [Ho, Hi]-sized expressions)
+    n_o_d, n_i_d = jax.lax.optimization_barrier((n_o, n_i))
+    p_o = cplx.ipow_device(n_o_d, rdt)
+    p_i_conj = cplx.ipow_device(n_i_d, rdt).conj()
+
+    def apply_phase(mat):
+        return (mat * p_o[:, None]) * p_i_conj[None, :]
     t_hat = to_cartesian(c, {**t_sph, "r": jnp.ones_like(r_t)})
     # cos(gamma) between t^ and each quadrature direction: [..., Q]
     x = jnp.tensordot(
@@ -165,7 +175,7 @@ def _sr_banded(c, t_sph, n_out, n_in, k, kind, use_pallas=False):
     nu = 0.5 * (d - 2.0)
     a_d = _a_const(d)
     omega = _surface_area(d)
-    nsum = jnp.asarray(n_o[:, None] + n_i[None, :])  # [Ho, Hi]
+    nsum = n_o_d[:, None] + n_i_d[None, :]  # [Ho, Hi]
 
     if use_pallas and x.ndim == 2 and n_out == n_in and rad.shape[:-1] == x.shape[:-1]:
         import os
@@ -178,7 +188,7 @@ def _sr_banded(c, t_sph, n_out, n_in, k, kind, use_pallas=False):
         out = sr_banded_pallas_padded(
             d, x, w, coef, yoc, yi, jnp.asarray(n_o), interpret=interpret
         )
-        return out * phase
+        return apply_phase(out)
 
     ho, hi = yoc.shape[-1], yi.shape[-1]
     batch = jnp.broadcast_shapes(x.shape[:-1], rad.shape[:-1])
@@ -202,7 +212,7 @@ def _sr_banded(c, t_sph, n_out, n_in, k, kind, use_pallas=False):
     cm1 = jnp.zeros_like(x)
     ns = jnp.arange(n_bands, dtype=x.dtype)
     (_, _, m), _ = jax.lax.scan(step, (cm1, c0, m0), ns)
-    return m * phase
+    return apply_phase(m)
 
 
 def translation_matrix(
@@ -280,7 +290,7 @@ def translation_matrix(
 
     if kind == "RR":
         # bounded plane-wave kernel: single dense contraction, exact
-        w, yoc, yi, s_cart, phase, _, _ = _quad_tables(c, n_end, n_in)
+        w, yoc, yi, s_cart, n_o, n_i = _quad_tables(c, n_end, n_in)
         if t_cart is None:
             t_cart = to_cartesian(c, t_sph)
         rdt = _real_dtype_of(k, t_cart)
@@ -289,6 +299,10 @@ def translation_matrix(
         )
         kk = k if isinstance(k, C) else C.of(k)
         f = cplx.exp(kk[..., None] * ts * 1j) * w.astype(rdt)
-        return _diag_contract(f, yoc.astype(rdt), yi.astype(rdt)) * phase
+        m = _diag_contract(f, yoc.astype(rdt), yi.astype(rdt))
+        n_o_d, n_i_d = jax.lax.optimization_barrier((n_o, n_i))
+        p_o = cplx.ipow_device(n_o_d, rdt)
+        p_i_conj = cplx.ipow_device(n_i_d, rdt).conj()
+        return (m * p_o[:, None]) * p_i_conj[None, :]
 
     return _sr_banded(c, t_sph, n_end, n_in, k, kind, use_pallas=use_pallas)

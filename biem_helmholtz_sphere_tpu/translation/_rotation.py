@@ -98,20 +98,21 @@ def _coax_tables(c, n_end, _x64):
         omega_child = _surface_area(root.children[0].sdim + 1)
         zf = tz0 / omega_child
         t_cols = t_tab[:, jnp.asarray(b.node_job_index[nid])]  # [q, H]
-        lsum = jnp.asarray(ell[:, None] + ell[None, :])
-        mask = jnp.asarray(cs)[:, None] == jnp.asarray(cs)[None, :]
-        phase = cplx.ipow(ell[:, None].astype(np.int64) - ell[None, :])
-        # NOTE: the radius-independent band matrices U[n''] (264 MB at
-        # n_end=32) are built on-device inside coaxial_sr: baking them in
-        # as compile-time constants overflows the AOT compile payload.
+        # NOTE: everything O(H^2) — the U[n''] band matrices, the Gaunt
+        # band mask lsum >= n'', the child-state mask and the i^{l'-l}
+        # phase — is built ON DEVICE by the consumers from these O(H)
+        # vectors, behind an optimization_barrier.  Baking H^2 tables in
+        # as constants overflowed the AOT compile payload, and even the
+        # [H, H] int/compare constants sent XLA's compile-time constant
+        # folder through [NB, H, H]-sized evaluations (gigabytes of
+        # single-threaded host work per compile at n_end = 64).
         out = (
             jnp.asarray(zf),
             jnp.asarray(w),
             tz,
             t_cols,
-            lsum,
-            mask,
-            phase,
+            jnp.asarray(ell, dtype=jnp.int32),
+            jnp.asarray(cs, dtype=jnp.int32),
         )
     return out
 
@@ -126,7 +127,7 @@ def coaxial_sr(c, r, n_end, k, kind="SR"):
     """
     _root_axis(c)  # validate tree shape before touching tables
     d = c.c_ndim
-    zf, w, tz, t_cols, lsum, mask, phase = _coax_tables(
+    zf, w, tz, t_cols, ell, cs = _coax_tables(
         c, n_end, jax.config.jax_enable_x64
     )
     rdt = jnp.result_type(
@@ -134,9 +135,11 @@ def coaxial_sr(c, r, n_end, k, kind="SR"):
     )
     zf = zf.astype(rdt)
     w = w.astype(rdt)
-    tz = tz.astype(rdt)
-    t_cols = t_cols.astype(rdt)
-    phase = phase.astype(rdt)
+    # barrier: keep XLA's constant folder away from the O(H^2) / [NB,H,H]
+    # expressions built from these small constants (see _coax_tables)
+    tz, t_cols, ell, cs = jax.lax.optimization_barrier(
+        (tz.astype(rdt), t_cols.astype(rdt), ell, cs)
+    )
 
     n_bands = 2 * n_end - 1
     z = k * r
@@ -145,12 +148,17 @@ def coaxial_sr(c, r, n_end, k, kind="SR"):
     coef = cplx.ipow(np.arange(n_bands)) * (_a_const(d) * zf) * rad  # C [..., NB]
 
     u = jnp.einsum("qn,qa,qb->nab", tz * w[:, None], t_cols, t_cols)
+    lsum = ell[:, None] + ell[None, :]
     u = jnp.where(lsum[None] >= jnp.arange(n_bands)[:, None, None], u, 0.0)
     m = C(
         jnp.einsum("...n,nab->...ab", coef.re, u),
         jnp.einsum("...n,nab->...ab", coef.im, u),
     )
-    return cplx.where(mask, m * phase, C.of(0.0))
+    # i^{l'-l} phase is rank-1 separable: i^{l'} (row) x conj(i^{l}) (col)
+    p = cplx.ipow_device(ell, rdt)
+    m = (m * p[:, None]) * p.conj()[None, :]
+    mask = cs[:, None] == cs[None, :]
+    return cplx.where(mask, m, C.of(0.0))
 
 
 @lru_cache(maxsize=32)
@@ -162,9 +170,8 @@ def _rot_tables(c, n_end, _x64):
         sph_j = {key: jnp.asarray(v) for key, v in sph.items()}
         y = harmonics(c, sph_j, n_end)
         s_cart = to_cartesian(c, sph_j, include_r=False)  # [d, Q]
-        n_root = basis(c, n_end).n_root
-        block = jnp.asarray(n_root[:, None] == n_root[None, :])
-        out = (jnp.asarray(w), y.conj(), s_cart, block)
+        n_root = jnp.asarray(basis(c, n_end).n_root, dtype=jnp.int32)
+        out = (jnp.asarray(w), y.conj(), s_cart, n_root)
     return out
 
 
@@ -203,11 +210,15 @@ def rotation_matrix(c, t_hat, n_end):
     diagonal harmonic representation of the rotation, by quadrature."""
     d = c.c_ndim
     axis = _root_axis(c)
-    w, yc, s_cart, block = _rot_tables(c, n_end, jax.config.jax_enable_x64)
+    w, yc, s_cart, n_root = _rot_tables(c, n_end, jax.config.jax_enable_x64)
     rdt = jnp.result_type(t_hat.dtype, jnp.float32)
     w = w.astype(rdt)
     yc = yc.astype(rdt)
     s_cart = s_cart.astype(rdt)
+    # degree-block mask built on device from the [H] degree vector (an
+    # [H, H] bool constant would be folded/embedded at compile time)
+    n_root = jax.lax.optimization_barrier(n_root)
+    block = n_root[:, None] == n_root[None, :]
     r = _rotation_to_axis(t_hat.astype(rdt), axis, d)  # [..., d, d]
     # R^{-1} s = R^T s
     s_rot = jnp.einsum("...ij,iq->...jq", r, s_cart)  # [..., d, Q]

@@ -84,7 +84,7 @@ def coaxial_scaled(c, r, n_end, k, kind="SR"):
         raise ValueError("scaled translation is (S|R)-only (RR is bounded)")
     _root_axis(c)
     d = c.c_ndim
-    zf, w, tz, t_cols, lsum, mask, phase = _coax_tables(
+    zf, w, tz, t_cols, ell, cs = _coax_tables(
         c, n_end, jax.config.jax_enable_x64
     )
     rdt = jnp.result_type(
@@ -92,9 +92,13 @@ def coaxial_scaled(c, r, n_end, k, kind="SR"):
     )
     zf = zf.astype(rdt)
     w = w.astype(rdt)
-    tz = tz.astype(rdt)
-    t_cols = t_cols.astype(rdt)
-    phase = phase.astype(rdt)
+    # barrier: build every O(H^2) object on device so the compile-time
+    # constant folder never sees [NB, H, H]-sized expressions
+    tz, t_cols, ell, cs = jax.lax.optimization_barrier(
+        (tz.astype(rdt), t_cols.astype(rdt), ell, cs)
+    )
+    lsum = ell[:, None] + ell[None, :]
+    mask = cs[:, None] == cs[None, :]
 
     n_bands = 2 * n_end - 1
     z = k * r
@@ -119,16 +123,14 @@ def coaxial_scaled(c, r, n_end, k, kind="SR"):
     coefm_g = coefm.reshape(gshape) * jnp.exp(rade_g - sig_g[..., None])
 
     u = jnp.einsum("qn,qa,qb->nab", tz * w[:, None], t_cols, t_cols)
-    u = jnp.where(
-        jnp.asarray(lsum)[None] >= jnp.arange(n_bands)[:, None, None], u, 0.0
-    )
+    u = jnp.where(lsum[None] >= jnp.arange(n_bands)[:, None, None], u, 0.0)
     if pad:
         u = jnp.concatenate(
             [u, jnp.zeros((pad,) + u.shape[1:], dtype=u.dtype)], axis=0
         )
     u_g = u.reshape(ng, _GROUP, *u.shape[1:])  # [NG, G, H, H]
 
-    s_mat = jnp.take(rade, jnp.asarray(lsum), axis=-1)  # [..., H, H]
+    s_mat = jnp.take(rade, lsum, axis=-1)  # [..., H, H]
     h_num = u.shape[-1]
     batch = jnp.broadcast_shapes(coefm.shape[:-1], z.re.shape if isinstance(z, C) else z.shape)
     acc0 = C.zeros(batch + (h_num, h_num), dtype=rdt)
@@ -150,7 +152,9 @@ def coaxial_scaled(c, r, n_end, k, kind="SR"):
         return acc, None
 
     acc, _ = jax.lax.scan(step, acc0, (u_g, coefm_steps, sig_steps))
-    mant = cplx.where(mask, acc * phase, C.of(0.0))
+    # i^{l'-l} phase is rank-1 separable: i^{l'} (row) x conj(i^{l}) (col)
+    p = cplx.ipow_device(ell, rdt)
+    mant = cplx.where(mask, (acc * p[:, None]) * p.conj()[None, :], C.of(0.0))
     return mant, s_mat
 
 
