@@ -769,19 +769,30 @@ def biem(
     else:
         h_num = basis(c, n_end).num
         n_sys = n_balls * h_num
-        # auto policy: LU while the real block embedding fits the TPU
-        # block-LU vmem budget; dense-matrix GMRES while the B^2 H^2
-        # matrix fits comfortably in HBM (one big matvec per iteration
-        # is the fastest MXU shape); matrix-free GMRES beyond that (no
-        # B^2 scaling in memory, at ~1.7x per-k-point cost at B=16).
-        dense_bytes = 8 * n_sys * n_sys  # f32 real-pair
+        # auto policy, backend-aware: on accelerators LU is limited by
+        # the XLA TPU block-LU vmem budget (~18k rows of the real block
+        # embedding); on CPU, LU is preferred much longer — it is exact
+        # where restarted GMRES at f64 tolerances can stagnate (the
+        # 256-sphere lattice row: LU matches the reference to 10 digits
+        # where GMRES(64) returned 1e-4 error, BENCH_NOTES.md), and a
+        # 12k-row f64 LU is minutes on a host core.  Dense-matrix GMRES
+        # while the B^2 H^2 matrix fits memory (one big matvec per
+        # iteration is the fastest MXU shape); matrix-free GMRES beyond
+        # (no B^2 memory scaling, ~1.7x per-k-point cost at B=16).
+        accel = jax.default_backend() not in ("cpu",)
+        rdtb = jnp.result_type(
+            radii.dtype, (k.re if isinstance(k, C) else k).dtype, jnp.float32
+        )
+        dense_bytes = (2 * jnp.finfo(rdtb).bits // 8) * n_sys * n_sys
+        lu_limit = 6144 if accel else 12288
+        dense_limit = 6e9 if accel else 40e9
         use_matfree = solver == "matfree" or (
-            solver == "auto" and dense_bytes > 6e9
+            solver == "auto" and dense_bytes > dense_limit
         )
         use_gmres = (
             use_matfree
             or solver == "gmres"
-            or (solver == "auto" and n_sys > 6144)
+            or (solver == "auto" and n_sys > lu_limit)
         )
         # the matfree matvec additionally needs concrete single-instance
         # geometry and an rhs (nothing forcing the dense matrix to exist)

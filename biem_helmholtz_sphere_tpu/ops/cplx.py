@@ -406,9 +406,14 @@ def gmres_solve_op(mv, diag, b, tol=None, restart=None, maxiter=20):
     slowest system converges.
 
     tol is relative to ||M^-1 b||; maxiter counts restart cycles, each
-    of `restart` (default: f32 40 / f64 64) Krylov steps at most — one
-    cycle normally suffices since the basis is sized past the observed
-    iteration counts, and an unused basis slot costs nothing.
+    of `restart` (default: f32 48 / f64 192) Krylov steps at most — one
+    cycle normally suffices because restarting FORFEITS superlinear
+    convergence: at a 256-sphere 2D system (n = 7936, f64 tol 1e-11),
+    GMRES(64)x20 stagnated at relres 2e-6 after ~1300 matvecs while
+    GMRES(256) converged to 1e-11 in one cycle, faster (BENCH_NOTES.md).
+    Unused basis slots cost no matvecs (per-step convergence skip), only
+    the orthogonalization passes over the full [m+1, n] basis (~4m/n of
+    one matvec per step).
     """
     b = C.of(b)
     rdt = b.re.dtype
@@ -418,7 +423,8 @@ def gmres_solve_op(mv, diag, b, tol=None, restart=None, maxiter=20):
         # relative residual at bench scale (BENCH_NOTES.md); 3e-5 sits
         # well under the f32 matmul-precision BC-residual floor (~8e-5).
         tol = 3e-5 if f32 else 1e-11
-    m = restart if restart is not None else (40 if f32 else 64)
+    m = restart if restart is not None else (48 if f32 else 192)
+    m = max(1, min(m, b.shape[-1]))  # Krylov dimension caps at n
     return _gmres_cgs2(mv, C.of(diag), b, tol, m, maxiter)
 
 
