@@ -464,3 +464,29 @@ def test_analytic_plane_wave_rhs_batched_k():
     )
     u1 = tonp(calc1.uscat(jnp.zeros((3, 1))))
     np.testing.assert_allclose(u[1], u1, rtol=2e-6)
+
+
+def test_lattice_64_sphere_converged_value():
+    """8x8 lattice of 64 unit spheres in 2D, k=1: self-converged golden
+    (stable to 11 digits for n_end in 19..64, accuracy/accuracy.csv).
+    The same pipeline at 256 spheres reproduces the REFERENCE's
+    committed converged value -0.9986093441-0.0011085159i
+    (reference accuracy/accuracy_n_balls_a.csv:82) to 10 decimal
+    places, cross-validating translation+assembly+solve+eval; this
+    64-sphere pin keeps that regression surface in the fast suite."""
+    from biem_helmholtz_sphere_tpu.cli._accuracy import lattice_centers
+
+    c = create_from_branching_types("a")
+    centers = jnp.asarray(lattice_centers(8, 2))
+    uin, _ = plane_wave(k=jnp.asarray(1.0), direction=jnp.asarray([1.0, 0.0]))
+    calc = biem(
+        c,
+        centers=centers,
+        radii=jnp.ones(64),
+        k=jnp.asarray(1.0),
+        n_end=19,
+        uin=uin,
+    )
+    u0 = complex(tonp(calc.uscat(jnp.zeros((2, 1)))).reshape(-1)[0])
+    ref = -1.0537360062 + 0.0214642340j
+    assert abs(u0 - ref) < 1e-8, u0
