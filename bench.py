@@ -93,9 +93,14 @@ def main():
     from biem_helmholtz_sphere_tpu.coords import create_from_branching_types
 
     c = create_from_branching_types("ba")
-    centers = jnp.asarray(lattice_centers(N_SIDE, SPACING), dtype=jnp.float32)
-    radii = jnp.ones(N_SIDE * N_SIDE, dtype=jnp.float32)
-    direction = jnp.asarray(np.array([1.0, 0.0, 0.0], dtype=np.float32))
+    # Keep closed-over geometry as HOST numpy: a device array captured by
+    # a jit trace becomes a per-call executable input, and on the axon
+    # TPU backend running any such program degrades every later dispatch
+    # in the session to ~27 ms (BENCH_NOTES.md).  numpy constants lower
+    # to HLO literals, which are safe.
+    centers = lattice_centers(N_SIDE, SPACING).astype(np.float32)
+    radii = np.ones(N_SIDE * N_SIDE, dtype=np.float32)
+    direction = np.array([1.0, 0.0, 0.0], dtype=np.float32)
 
     def solve_step(k):
         uin, _ = plane_wave(k=k, direction=direction)

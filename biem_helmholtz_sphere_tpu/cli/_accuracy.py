@@ -88,9 +88,12 @@ def run_accuracy(
             row cost tens of seconds regardless of problem size.
             """
             d = c.c_ndim
-            centers_j = jnp.asarray(centers)
-            radii_j = jnp.ones(len(centers))
-            dir_j = jnp.asarray(direction)
+            # HOST numpy closures: captured device arrays degrade every
+            # later dispatch on the axon TPU backend (BENCH_NOTES.md);
+            # numpy constants lower to HLO literals, which are safe.
+            centers_j = np.asarray(centers)
+            radii_j = np.ones(len(centers))
+            dir_j = np.asarray(direction)
 
             def fn(k):
                 # plane_wave wants direction [d, ...k-batch]

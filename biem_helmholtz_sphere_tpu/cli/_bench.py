@@ -19,9 +19,11 @@ def run_bench(n_end=16, n_side=2, k=4.0, profile=None):
     from ._accuracy import lattice_centers
 
     c = create_from_branching_types("ba")
-    centers = jnp.asarray(lattice_centers(n_side, 3), dtype=jnp.float32)
-    radii = jnp.ones(n_side * n_side, jnp.float32)
-    direction = jnp.asarray(np.array([1.0, 0.0, 0.0], np.float32))
+    # HOST numpy closures (not device arrays): see BENCH_NOTES.md on the
+    # axon captured-buffer dispatch degradation.
+    centers = lattice_centers(n_side, 3).astype(np.float32)
+    radii = np.ones(n_side * n_side, np.float32)
+    direction = np.array([1.0, 0.0, 0.0], np.float32)
 
     def step(kk):
         uin, _ = plane_wave(k=kk, direction=direction)

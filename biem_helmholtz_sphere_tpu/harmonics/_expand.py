@@ -9,6 +9,7 @@ the integrand at the (static) quadrature nodes.
 from functools import lru_cache
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import cplx
 from ..ops.cplx import C
@@ -34,7 +35,9 @@ def _quad_harmonics_impl(c, n_end, deg, _x64):
         sph_j = {k: jnp.asarray(v) for k, v in sph.items()}
         y = harmonics(c, sph_j, n_end)
         wy = y.conj() * jnp.asarray(w)[:, None]
-    return sph, wy
+    # Host numpy leaves (see translation._rotation._coax_tables NOTE on
+    # the axon captured-buffer dispatch degradation).
+    return sph, C(np.asarray(wy.re), np.asarray(wy.im))
 
 
 def expand(c, f, n_end, deg=None):

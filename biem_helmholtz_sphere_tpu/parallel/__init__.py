@@ -80,7 +80,8 @@ def sharded_sweep(
     dir_b = jnp.broadcast_to(jnp.asarray(direction)[:, None], (d, nk))
     eta_b = jnp.ones((nk,)) if eta is None else jnp.broadcast_to(jnp.asarray(eta), (nk,))
     if x is None:
-        x = jnp.zeros((d, 1))
+        # numpy (not device) constant: `x` is captured by step's closure
+        x = np.zeros((d, 1))
 
     spec_k = NamedSharding(mesh, P(axis_name))
     spec_kb = NamedSharding(mesh, P(axis_name, None))
@@ -154,7 +155,8 @@ def sharded_solve(
     radii = jnp.asarray(radii)
     k = jnp.asarray(k)
     direction = jnp.asarray(direction)
-    eta_in = None if eta is None else jnp.asarray(eta)
+    # numpy (not device): eta_in is captured by step's closure below
+    eta_in = None if eta is None else np.asarray(eta)
 
     def step(k_, centers_, radii_, dir_):
         uin, uin_grad = plane_wave(k=k_, direction=dir_)

@@ -83,14 +83,17 @@ def _quad_tables_impl(c, n_out, n_in, _x64):
         bi = basis(c, n_in)
         # the i^{n_o - n_i} phase is applied separably (row x col) by the
         # consumers from these [H] degree vectors — an [Ho, Hi] phase
-        # constant costs O(H^2) compile memory/folding time
+        # constant costs O(H^2) compile memory/folding time.
+        # Host numpy leaves (see _rotation._coax_tables NOTE on the axon
+        # captured-buffer dispatch degradation).
+        yoc = yo.conj()
         out = (
-            jnp.asarray(w),
-            yo.conj(),
-            yi,
-            s_cart,
-            jnp.asarray(bo.n_root, dtype=jnp.int32),
-            jnp.asarray(bi.n_root, dtype=jnp.int32),
+            np.asarray(w),
+            C(np.asarray(yoc.re), np.asarray(yoc.im)),
+            C(np.asarray(yi.re), np.asarray(yi.im)),
+            np.asarray(s_cart),
+            np.asarray(bo.n_root, dtype=np.int32),
+            np.asarray(bi.n_root, dtype=np.int32),
         )
     return out
 

@@ -106,13 +106,20 @@ def _coax_tables(c, n_end, _x64):
         # [H, H] int/compare constants sent XLA's compile-time constant
         # folder through [NB, H, H]-sized evaluations (gigabytes of
         # single-threaded host work per compile at n_end = 64).
+        #
+        # Returned as HOST numpy arrays: a cached DEVICE array captured
+        # by a jit trace becomes a per-call executable input, and on the
+        # axon TPU backend executing any program with such a captured
+        # buffer degrades every subsequent dispatch in the session to
+        # ~27 ms (BENCH_NOTES.md).  numpy constants lower to HLO
+        # literals, which are safe.
         out = (
-            jnp.asarray(zf),
-            jnp.asarray(w),
-            tz,
-            t_cols,
-            jnp.asarray(ell, dtype=jnp.int32),
-            jnp.asarray(cs, dtype=jnp.int32),
+            np.asarray(zf),
+            np.asarray(w),
+            np.asarray(tz),
+            np.asarray(t_cols),
+            np.asarray(ell, dtype=np.int32),
+            np.asarray(cs, dtype=np.int32),
         )
     return out
 
@@ -163,15 +170,23 @@ def coaxial_sr(c, r, n_end, k, kind="SR"):
 
 @lru_cache(maxsize=32)
 def _rot_tables(c, n_end, _x64):
-    """Quadrature rule + conj(Y) table + degree-block mask for rotations."""
+    """Quadrature rule + conj(Y) table + degree-block mask for rotations.
+
+    Host numpy leaves (see _coax_tables NOTE on the axon captured-buffer
+    dispatch degradation)."""
     with jax.ensure_compile_time_eval():
         deg = 2 * (n_end - 1)
         sph, w = sphere_quadrature(c, deg)
         sph_j = {key: jnp.asarray(v) for key, v in sph.items()}
         y = harmonics(c, sph_j, n_end)
         s_cart = to_cartesian(c, sph_j, include_r=False)  # [d, Q]
-        n_root = jnp.asarray(basis(c, n_end).n_root, dtype=jnp.int32)
-        out = (jnp.asarray(w), y.conj(), s_cart, n_root)
+        yc = y.conj()
+        out = (
+            np.asarray(w),
+            C(np.asarray(yc.re), np.asarray(yc.im)),
+            np.asarray(s_cart),
+            np.asarray(basis(c, n_end).n_root, dtype=np.int32),
+        )
     return out
 
 
