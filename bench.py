@@ -93,11 +93,8 @@ def main():
     from biem_helmholtz_sphere_tpu.coords import create_from_branching_types
 
     c = create_from_branching_types("ba")
-    # Keep closed-over geometry as HOST numpy: a device array captured by
-    # a jit trace becomes a per-call executable input, and on the axon
-    # TPU backend running any such program degrades every later dispatch
-    # in the session to ~27 ms (BENCH_NOTES.md).  numpy constants lower
-    # to HLO literals, which are safe.
+    # Closed-over geometry as HOST numpy: lowers to HLO literals
+    # instead of captured device buffers (BENCH_NOTES.md).
     centers = lattice_centers(N_SIDE, SPACING).astype(np.float32)
     radii = np.ones(N_SIDE * N_SIDE, dtype=np.float32)
     direction = np.array([1.0, 0.0, 0.0], dtype=np.float32)

@@ -88,9 +88,9 @@ def run_accuracy(
             row cost tens of seconds regardless of problem size.
             """
             d = c.c_ndim
-            # HOST numpy closures: captured device arrays degrade every
-            # later dispatch on the axon TPU backend (BENCH_NOTES.md);
-            # numpy constants lower to HLO literals, which are safe.
+            # HOST numpy closures lower to HLO literals instead of
+            # captured device buffers (BENCH_NOTES.md "axon dispatch
+            # modes").
             centers_j = np.asarray(centers)
             radii_j = np.ones(len(centers))
             dir_j = np.asarray(direction)

@@ -19,8 +19,8 @@ def run_bench(n_end=16, n_side=2, k=4.0, profile=None):
     from ._accuracy import lattice_centers
 
     c = create_from_branching_types("ba")
-    # HOST numpy closures (not device arrays): see BENCH_NOTES.md on the
-    # axon captured-buffer dispatch degradation.
+    # HOST numpy closures lower to HLO literals instead of captured
+    # device buffers (BENCH_NOTES.md "axon dispatch modes").
     centers = lattice_centers(n_side, 3).astype(np.float32)
     radii = np.ones(n_side * n_side, np.float32)
     direction = np.array([1.0, 0.0, 0.0], np.float32)

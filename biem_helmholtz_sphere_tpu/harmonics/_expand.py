@@ -35,8 +35,8 @@ def _quad_harmonics_impl(c, n_end, deg, _x64):
         sph_j = {k: jnp.asarray(v) for k, v in sph.items()}
         y = harmonics(c, sph_j, n_end)
         wy = y.conj() * jnp.asarray(w)[:, None]
-    # Host numpy leaves (see translation._rotation._coax_tables NOTE on
-    # the axon captured-buffer dispatch degradation).
+    # Host numpy leaves: jit traces embed them as HLO literals instead
+    # of capturing device buffers (translation._rotation._coax_tables).
     return sph, C(np.asarray(wy.re), np.asarray(wy.im))
 
 

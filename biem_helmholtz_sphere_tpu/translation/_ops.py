@@ -84,8 +84,8 @@ def _quad_tables_impl(c, n_out, n_in, _x64):
         # the i^{n_o - n_i} phase is applied separably (row x col) by the
         # consumers from these [H] degree vectors — an [Ho, Hi] phase
         # constant costs O(H^2) compile memory/folding time.
-        # Host numpy leaves (see _rotation._coax_tables NOTE on the axon
-        # captured-buffer dispatch degradation).
+        # Host numpy leaves: jit traces embed them as HLO literals
+        # instead of capturing device buffers (_rotation._coax_tables).
         yoc = yo.conj()
         out = (
             np.asarray(w),

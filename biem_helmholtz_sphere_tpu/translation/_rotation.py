@@ -107,12 +107,13 @@ def _coax_tables(c, n_end, _x64):
         # folder through [NB, H, H]-sized evaluations (gigabytes of
         # single-threaded host work per compile at n_end = 64).
         #
-        # Returned as HOST numpy arrays: a cached DEVICE array captured
-        # by a jit trace becomes a per-call executable input, and on the
-        # axon TPU backend executing any program with such a captured
-        # buffer degrades every subsequent dispatch in the session to
-        # ~27 ms (BENCH_NOTES.md).  numpy constants lower to HLO
-        # literals, which are safe.
+        # Returned as HOST numpy arrays so downstream jit traces embed
+        # them as HLO literals instead of capturing device buffers.  The
+        # np.asarray readback also flips the axon session into its
+        # synchronous dispatch mode, which is REQUIRED for honest
+        # timing/blocking semantics (BENCH_NOTES.md "axon dispatch
+        # modes": pre-readback the backend defers execution and
+        # block_until_ready does not block).
         out = (
             np.asarray(zf),
             np.asarray(w),
@@ -172,8 +173,8 @@ def coaxial_sr(c, r, n_end, k, kind="SR"):
 def _rot_tables(c, n_end, _x64):
     """Quadrature rule + conj(Y) table + degree-block mask for rotations.
 
-    Host numpy leaves (see _coax_tables NOTE on the axon captured-buffer
-    dispatch degradation)."""
+    Host numpy leaves (see _coax_tables NOTE: jit traces embed them as
+    HLO literals instead of capturing device buffers)."""
     with jax.ensure_compile_time_eval():
         deg = 2 * (n_end - 1)
         sph, w = sphere_quadrature(c, deg)
