@@ -77,7 +77,7 @@ def old():
 
 def new():
     rdt = jnp.float32
-    # row factor in [B, H, B'] layout; col factor in [1, 1, B', H']
+    # row factor in [B, H, B'] layout; col factor in [B, 1, B', H']
     sgn_or_1 = jnp.where(jnp.asarray(lower)[:, None, :], sgn[None, :, None], 1.0)
     rowm = (reg[..., :, :, None] * sgn_or_1) * jnp.asarray(offdiag, dtype=rdt)[
         :, None, :
@@ -107,6 +107,9 @@ b = jn()
 np.asarray(a.re[0, 0, 0, :2])  # force sync mode
 err = float(jnp.max(jnp.abs(a.re - b.re)) + jnp.max(jnp.abs(a.im - b.im)))
 print("max abs diff:", err)
+if err != 0.0:
+    print("FAIL: old() and new() emit paths disagree (expected bit-identical)")
+    raise SystemExit(1)
 
 for name, f in (("old", jo), ("new", jn)):
     f().block_until_ready()

@@ -64,7 +64,6 @@ print(f"(a) scalar per-call block : {(time.perf_counter()-t0)/len(ks):.4f} s/k")
 # (b) scalar loop, enqueue all then block once
 t0 = time.perf_counter()
 outs = [solve_jit(jnp.float32(kk)) for kk in ks]
-outs[-1].block_until_ready()
 for o in outs:
     o.block_until_ready()
 print(f"(b) scalar enqueue-then-block: {(time.perf_counter()-t0)/len(ks):.4f} s/k")
