@@ -38,6 +38,71 @@ def pair_centers(d):
     return centers
 
 
+def _cplx_name(real_dtype):
+    return {"float32": "complex64", "float64": "complex128"}.get(
+        str(real_dtype), str(real_dtype)
+    )
+
+
+def _dev_name(arr):
+    """Provenance device string for a JAX array, e.g. 'cpu:0' / 'tpu:0'."""
+    try:
+        d = next(iter(arr.devices()))
+        return f"{d.platform}:{d.id}"
+    except Exception:
+        return "unknown"
+
+
+def provenance(density_c, uscat_c):
+    """(density_dtype, density_device, uscat_dtype, uscat_device) columns
+    matching the reference sweep CSVs (reference cli.py:57-59,208-211)."""
+    return (
+        _cplx_name(density_c.re.dtype),
+        _dev_name(density_c.re),
+        _cplx_name(uscat_c.re.dtype),
+        _dev_name(uscat_c.re),
+    )
+
+
+_HEADER = [
+    "branching_types",
+    "mode",
+    "n_balls",
+    "k",
+    "n_end",
+    "uscat_real",
+    "uscat_imag",
+    "seconds",
+    "device",
+    "dtype",
+    "density_dtype",
+    "density_device",
+    "uscat_dtype",
+    "uscat_device",
+]
+
+
+def _open_sweep_csv(path):
+    """Open the sweep CSV for append, migrating any pre-provenance file
+    out of the way (rows must align with the current header)."""
+    if os.path.exists(path):
+        with open(path, newline="") as fh:
+            first = fh.readline().strip()
+        if first != ",".join(_HEADER):
+            base, ext = os.path.splitext(path)
+            n = 0
+            while os.path.exists(f"{base}_legacy{n}{ext}"):
+                n += 1
+            os.rename(path, f"{base}_legacy{n}{ext}")
+            log.info("migrated old-schema %s to %s_legacy%d%s", path, base, n, ext)
+    new = not os.path.exists(path)
+    fh = open(path, "a", newline="")
+    wr = csv.writer(fh)
+    if new:
+        wr.writerow(_HEADER)
+    return fh, wr
+
+
 def _n_end_grid(n_end_max_log2):
     vals = sorted(
         {int(2.0**e) for e in np.arange(0.0, n_end_max_log2 + 1e-9, 0.25)}
@@ -62,23 +127,12 @@ def run_accuracy(
 
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, "accuracy.csv")
-    new = not os.path.exists(path)
-    with open(path, "a", newline="") as fh:
-        wr = csv.writer(fh)
-        if new:
-            wr.writerow(
-                [
-                    "branching_types",
-                    "mode",
-                    "n_balls",
-                    "k",
-                    "n_end",
-                    "uscat_real",
-                    "uscat_imag",
-                    "seconds",
-                ]
-            )
+    fh, wr = _open_sweep_csv(path)
+    with fh:
         import jax
+
+        in_dtype = "float64" if jax.config.jax_enable_x64 else "float32"
+        host_dev = f"{jax.devices()[0].platform}:{jax.devices()[0].id}"
 
         def make_step(c, centers, n_end, direction):
             """One jitted k -> (density, uscat(0)) program per shape.
@@ -126,10 +180,11 @@ def run_accuracy(
             t0 = time.perf_counter()
             try:
                 if len(ks) == 1:
-                    dens, u0c = step(jnp.asarray(float(ks[0])))
+                    dens_c, u0c = step(jnp.asarray(float(ks[0])))
                 else:
-                    dens, u0c = step(jnp.asarray(np.asarray(ks, np.float64)))
-                dens = to_numpy(dens)
+                    dens_c, u0c = step(jnp.asarray(np.asarray(ks, np.float64)))
+                prov = provenance(dens_c, u0c)
+                dens = to_numpy(dens_c)
                 u0s = to_numpy(u0c).reshape(len(ks), -1)[:, 0] if len(
                     ks
                 ) > 1 else to_numpy(u0c).reshape(1, -1)[:, 0]
@@ -163,6 +218,9 @@ def run_accuracy(
                             u0.real,
                             u0.imag,
                             per_k,
+                            host_dev,
+                            in_dtype,
+                            *prov,
                         ]
                     )
                     fh.flush()

@@ -32,12 +32,31 @@ def run_jascome(out_dir, n_end_max=9, btypes=None):
     from ..coords import create_from_branching_types
     from ..ops.cplx import to_numpy
 
+    from ._accuracy import provenance
+
+    import jax
+
     os.makedirs(out_dir, exist_ok=True)
     btypes = btypes or BTYPES
     path = os.path.join(out_dir, "jascome_output.csv")
+    in_dtype = "float64" if jax.config.jax_enable_x64 else "float32"
+    host_dev = f"{jax.devices()[0].platform}:{jax.devices()[0].id}"
     with open(path, "w", newline="") as fh:
         wr = csv.writer(fh)
-        wr.writerow(["branching_types", "n_end", "uscat"])
+        # provenance columns mirror the reference (cli.py:57-59)
+        wr.writerow(
+            [
+                "branching_types",
+                "n_end",
+                "uscat",
+                "device",
+                "dtype",
+                "density_dtype",
+                "density_device",
+                "uscat_dtype",
+                "uscat_device",
+            ]
+        )
         for btype in btypes:
             c = create_from_branching_types(btype)
             d = c.c_ndim
@@ -71,10 +90,18 @@ def run_jascome(out_dir, n_end_max=9, btypes=None):
                         uin=uin,
                         translational_coefficients_method="triplet",
                     )
-                    u0 = complex(
-                        to_numpy(calc.uscat(jnp.zeros((d, 1)))).reshape(-1)[0]
+                    u0c = calc.uscat(jnp.zeros((d, 1)))
+                    u0 = complex(to_numpy(u0c).reshape(-1)[0])
+                    wr.writerow(
+                        [
+                            btype,
+                            n_end,
+                            f"({u0.real}{u0.imag:+}j)",
+                            host_dev,
+                            in_dtype,
+                            *provenance(calc.density, u0c),
+                        ]
                     )
-                    wr.writerow([btype, n_end, f"({u0.real}{u0.imag:+}j)"])
                     fh.flush()
                     log.debug("jascome %s n=%d: %s", btype, n_end - 1, u0)
                 except Exception as e:  # reference tolerates failures

@@ -3,11 +3,16 @@ here since panel is not in this image).
 
 Feature parity with the reference's widget surface (gui.py:30-254):
 dimension/branching-type selection (standard / standard_prime / hopf /
-random / custom string), wavenumber (complex), eta, n_end (capped by
-max_n_end against available memory, reference gui.py:189-199), inner/
-outer kind, per-sphere table (alpha, beta, radius, center) editable as
-text, recompute on submit, near-field + far-field plots side by side,
-and SVG/PNG download of the figure.
+random / custom string), backend device + dtype enumerated from the JAX
+backend (reference enumerates via __array_namespace_info__(),
+gui.py:144-159), wavenumber (complex), eta, n_end (capped by max_n_end
+against available memory, reference gui.py:189-199), inner/outer kind,
+force_matrix toggle, per-sphere rows (alpha, beta, radius, center) with
+add/remove buttons (reference gui.py:229-254), recompute on submit with a
+progress indicator and notification-style error panel (gui.py:401-412),
+near-field + far-field plots side by side, time-phase / animation
+control (reference's plot_biem time animation), per-ball plot selection,
+and SVG/PNG/JPG download of the figure.
 """
 
 import base64
@@ -22,18 +27,33 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
-_DEFAULT_SPHERES = "1+0j, 0+0j, 1.0, 0 2 0\n1+0j, 0+0j, 1.0, 0 -2 0"
+_DEFAULT_SPHERES = ["1+0j, 0+0j, 1.0, 0 2 0", "1+0j, 0+0j, 1.0, 0 -2 0"]
 
 _PAGE = """<!DOCTYPE html>
 <html><head><title>biem-helmholtz-sphere-tpu</title>
 <style>
 body {{ font-family: sans-serif; margin: 2em; max-width: 1100px; }}
 fieldset {{ margin-bottom: 1em; }} label {{ margin-right: 1em; }}
-textarea {{ width: 100%; font-family: monospace; }}
+input.sphere {{ width: 60%; font-family: monospace; }}
 img {{ max-width: 48%; }} .err {{ color: #b00; white-space: pre-wrap; }}
-</style></head><body>
+#progress {{ color: #06c; font-weight: bold; display: none; }}
+</style>
+<script>
+function addRow(val) {{
+  var list = document.getElementById('spherelist');
+  var div = document.createElement('div');
+  div.innerHTML = '<input class="sphere" name="sphere" value="' + (val || '1+0j, 0+0j, 1.0, 0 0 0')
+    + '"> <button type="button" onclick="this.parentNode.remove()">&minus;</button>';
+  list.appendChild(div);
+}}
+function showProgress() {{
+  document.getElementById('progress').style.display = 'inline';
+  return true;
+}}
+</script>
+</head><body>
 <h2>biem-helmholtz-sphere-tpu</h2>
-<form method="post" action="/">
+<form method="post" action="/" onsubmit="return showProgress()">
 <fieldset><legend>Coordinates</legend>
 <label>type
 <select name="ctype">
@@ -46,28 +66,89 @@ img {{ max-width: 48%; }} .err {{ color: #b00; white-space: pre-wrap; }}
 <label>dimension <input name="dim" value="{dim}" size="2"></label>
 <label>custom branching string <input name="btype" value="{btype}" size="10"></label>
 </fieldset>
+<fieldset><legend>Backend</legend>
+<label>device <select name="device">{device_options}</select></label>
+<label>dtype <select name="dtype">{dtype_options}</select></label>
+</fieldset>
 <fieldset><legend>Calculation</legend>
 <label>k (complex ok) <input name="k" value="{k}" size="10"></label>
 <label>eta <input name="eta" value="{eta}" size="6"></label>
-<label>n_end <input name="n_end" value="{n_end}" size="4"></label>
+<label>n_end <input name="n_end" value="{n_end}" size="4"> (max for this memory: {n_end_cap})</label>
 <label>kind <select name="kind"><option {outer}>outer</option><option {inner}>inner</option></select></label>
 <label>force_matrix <input type="checkbox" name="force_matrix" {force_matrix}></label>
 </fieldset>
-<fieldset><legend>Spheres (one per line: alpha, beta, radius, center coords)</legend>
-<textarea name="spheres" rows="4">{spheres}</textarea>
+<fieldset><legend>Spheres (alpha, beta, radius, center coords)</legend>
+<div id="spherelist">{sphere_rows}</div>
+<button type="button" onclick="addRow()">+ add sphere</button>
 </fieldset>
 <fieldset><legend>Plot</legend>
 <label>plane axes <input name="axes" value="{axes}" size="4"></label>
 <label>extent <input name="lim" value="{lim}" size="5"></label>
+<label>time t <input name="t" value="{t}" size="4"></label>
+<label>animate <input type="checkbox" name="animate" {animate}></label>
+<label>balls (blank = all) <input name="balls" value="{balls}" size="8"></label>
 <label>signed log <input type="checkbox" name="slog" {slog}></label>
 <label>format <select name="fmt"><option>png</option><option>svg</option><option>jpg</option></select></label>
 </fieldset>
-<button type="submit">Compute</button>
+<button type="submit">Compute</button> <span id="progress">computing&hellip;</span>
 </form>
 <div>{status}</div>
 <div>{images}</div>
 </body></html>
 """
+
+
+def _backend_devices():
+    """Enumerate devices across the available JAX platforms (the
+    reference enumerates backend devices via __array_namespace_info__(),
+    gui.py:144-159)."""
+    import jax
+
+    out = []
+    for d in jax.devices():
+        out.append(f"{d.platform}:{d.id}")
+    # CPU devices are always constructible even when the default backend
+    # is an accelerator
+    if not any(s.startswith("cpu") for s in out):
+        try:
+            for d in jax.devices("cpu"):
+                out.append(f"{d.platform}:{d.id}")
+        except RuntimeError:
+            pass
+    return out
+
+
+def _backend_dtypes():
+    import jax
+
+    return ["float32", "float64"] if jax.config.jax_enable_x64 else [
+        "float32",
+        "float64 (enables x64)",
+    ]
+
+
+def _pick_device(name):
+    import jax
+
+    if not name:
+        return None
+    platform, _, idx = name.partition(":")
+    try:
+        return jax.devices(platform)[int(idx or 0)]
+    except (RuntimeError, IndexError):
+        return None
+
+
+def _n_end_cap(d, n_balls):
+    from ..biem import max_n_end
+
+    try:
+        import psutil
+
+        mem = psutil.virtual_memory().available // 16
+    except Exception:
+        mem = 4 * 2**30
+    return max(max_n_end(c_ndim=d, memory_limit=mem, n_balls=n_balls), 1)
 
 
 def _solve_and_plot(form):
@@ -76,9 +157,10 @@ def _solve_and_plot(form):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    import jax
     import jax.numpy as jnp
 
-    from ..biem import biem, max_n_end, plane_wave
+    from ..biem import biem, plane_wave
     from ..coords import (
         create_from_branching_types,
         create_hopf,
@@ -87,7 +169,7 @@ def _solve_and_plot(form):
         create_standard_prime,
     )
     from ..ops.cplx import C, to_numpy
-    from ..plot import plot_biem, plot_biem_far
+    from ..plot import animate_biem, plot_biem, plot_biem_far
 
     ctype = form.get("ctype", "standard")
     dim = int(form.get("dim", "3"))
@@ -103,9 +185,13 @@ def _solve_and_plot(form):
         c = create_from_branching_types(form.get("btype", "ba"))
     d = c.c_ndim
 
-    rows = [
-        ln.strip() for ln in form.get("spheres", _DEFAULT_SPHERES).splitlines() if ln.strip()
-    ]
+    if "float64" in form.get("dtype", "float32"):
+        jax.config.update("jax_enable_x64", True)
+
+    raw_rows = form.get("sphere_list") or (
+        form["spheres"].splitlines() if form.get("spheres") else _DEFAULT_SPHERES
+    )
+    rows = [ln.strip() for ln in raw_rows if ln.strip()]
     alphas, betas, radii, centers = [], [], [], []
     for ln in rows:
         a, b, r, ctr = [p.strip() for p in ln.split(",")]
@@ -124,58 +210,88 @@ def _solve_and_plot(form):
     eta = float(form.get("eta", "1"))
     n_end = int(form.get("n_end", "6"))
     # cap by available memory (reference gui.py:189-199)
-    try:
-        import psutil
-
-        mem = psutil.virtual_memory().available // 16
-    except Exception:
-        mem = 4 * 2**30
-    cap = max_n_end(c_ndim=d, memory_limit=mem, n_balls=len(rows))
-    n_end = min(n_end, max(cap, 1))
+    cap = _n_end_cap(d, len(rows))
+    n_end = min(n_end, cap)
 
     direction = np.zeros(d)
     direction[0] = 1.0
-    uin, uin_grad = plane_wave(k=k_in, direction=jnp.asarray(direction))
-    calc = biem(
-        c,
-        centers=jnp.asarray(np.array(centers)),
-        radii=jnp.asarray(np.array(radii)),
-        k=k_in,
-        n_end=n_end,
-        alpha=np.array(alphas),
-        beta=np.array(betas),
-        uin=uin,
-        uin_grad=uin_grad if any(abs(b) > 0 for b in betas) else None,
-        eta=np.asarray(eta),
-        kind=form.get("kind", "outer"),
-        force_matrix="force_matrix" in form,
+    device = _pick_device(form.get("device", ""))
+    ctx = jax.default_device(device) if device is not None else _nullcontext()
+    with ctx:
+        uin, uin_grad = plane_wave(k=k_in, direction=jnp.asarray(direction))
+        calc = biem(
+            c,
+            centers=jnp.asarray(np.array(centers)),
+            radii=jnp.asarray(np.array(radii)),
+            k=k_in,
+            n_end=n_end,
+            alpha=np.array(alphas),
+            beta=np.array(betas),
+            uin=uin,
+            uin_grad=uin_grad if any(abs(b) > 0 for b in betas) else None,
+            eta=np.asarray(eta),
+            kind=form.get("kind", "outer"),
+            force_matrix="force_matrix" in form,
+        )
+        axes = tuple(int(v) for v in form.get("axes", "0 1").replace(",", " ").split())
+        balls_s = form.get("balls", "").strip()
+        balls = (
+            [int(v) for v in balls_s.replace(",", " ").split()] if balls_s else None
+        )
+        fmt = form.get("fmt", "png")
+        imgs = []
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4.5))
+        ax2.remove()
+        ax2 = fig.add_subplot(1, 2, 2, projection="polar")
+        plot_biem(
+            calc,
+            t=float(form.get("t", "0")),
+            axes=axes,
+            lim=float(form.get("lim", "6")),
+            balls=balls,
+            use_signed_log="slog" in form,
+            ax=ax1,
+        )
+        plot_biem_far(calc, axes=axes, ax=ax2)
+        buf = io.BytesIO()
+        fig.savefig(buf, format=fmt, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        mime = {"png": "image/png", "jpg": "image/jpeg", "svg": "image/svg+xml"}[fmt]
+        imgs.append(
+            f'<img src="data:{mime};base64,{base64.b64encode(buf.getvalue()).decode()}">'
+        )
+        if "animate" in form:
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".gif") as tmp:
+                animate_biem(
+                    calc,
+                    tmp.name,
+                    axes=axes,
+                    lim=float(form.get("lim", "6")),
+                    balls=balls,
+                    use_signed_log="slog" in form,
+                )
+                gif = open(tmp.name, "rb").read()
+            imgs.append(
+                f'<img src="data:image/gif;base64,{base64.b64encode(gif).decode()}">'
+            )
+        u0 = complex(to_numpy(calc.uscat(jnp.zeros((d, 1)))).reshape(-1)[0])
+    dens_dev = next(iter(calc.density.re.devices()))
+    status = (
+        f"<p>uscat(0) = {u0:.6f} &nbsp; (n_end used: {n_end}, "
+        f"device: {dens_dev.platform}:{dens_dev.id}, "
+        f"dtype: {calc.density.re.dtype})</p>"
     )
-    axes = tuple(int(v) for v in form.get("axes", "0 1").replace(",", " ").split())
-    fmt = form.get("fmt", "png")
-    imgs = []
-    fig, (ax1, ax2) = plt.subplots(
-        1, 2, figsize=(11, 4.5), subplot_kw=None
-    )
-    ax2.remove()
-    ax2 = fig.add_subplot(1, 2, 2, projection="polar")
-    plot_biem(
-        calc,
-        axes=axes,
-        lim=float(form.get("lim", "6")),
-        use_signed_log="slog" in form,
-        ax=ax1,
-    )
-    plot_biem_far(calc, axes=axes, ax=ax2)
-    buf = io.BytesIO()
-    fig.savefig(buf, format=fmt, dpi=110, bbox_inches="tight")
-    plt.close(fig)
-    mime = {"png": "image/png", "jpg": "image/jpeg", "svg": "image/svg+xml"}[fmt]
-    imgs.append(
-        f'<img src="data:{mime};base64,{base64.b64encode(buf.getvalue()).decode()}">'
-    )
-    u0 = complex(to_numpy(calc.uscat(jnp.zeros((d, 1)))).reshape(-1)[0])
-    status = f"<p>uscat(0) = {u0:.6f} &nbsp; (n_end used: {n_end})</p>"
     return status, "".join(imgs)
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -185,7 +301,34 @@ class _Handler(BaseHTTPRequestHandler):
             try:
                 status, images = _solve_and_plot(form)
             except Exception:
+                # notification-style error panel (reference gui.py:410-412)
                 status = f'<div class="err">{html.escape(traceback.format_exc())}</div>'
+        try:
+            devices = _backend_devices()
+            dtypes = _backend_dtypes()
+        except Exception:
+            devices, dtypes = [], ["float32"]
+        sel_dev = form.get("device", "")
+        dev_opts = "".join(
+            f'<option {"selected" if s == sel_dev else ""}>{html.escape(s)}</option>'
+            for s in devices
+        )
+        sel_dt = form.get("dtype", "float32")
+        dt_opts = "".join(
+            f'<option {"selected" if s == sel_dt else ""}>{html.escape(s)}</option>'
+            for s in dtypes
+        )
+        rows = form.get("sphere_list", _DEFAULT_SPHERES)
+        sphere_rows = "".join(
+            '<div><input class="sphere" name="sphere" value="'
+            + html.escape(ln, quote=True)
+            + '"> <button type="button" onclick="this.parentNode.remove()">&minus;</button></div>'
+            for ln in rows
+        )
+        try:
+            cap = _n_end_cap(int(form.get("dim", "3")), max(len(rows), 1))
+        except Exception:
+            cap = "?"
         page = _PAGE.format(
             standard="selected" if form.get("ctype", "standard") == "standard" else "",
             standard_prime="selected" if form.get("ctype") == "standard_prime" else "",
@@ -194,15 +337,21 @@ class _Handler(BaseHTTPRequestHandler):
             custom="selected" if form.get("ctype") == "custom" else "",
             dim=html.escape(form.get("dim", "3")),
             btype=html.escape(form.get("btype", "ba")),
+            device_options=dev_opts,
+            dtype_options=dt_opts,
             k=html.escape(form.get("k", "1")),
             eta=html.escape(form.get("eta", "1")),
             n_end=html.escape(form.get("n_end", "6")),
+            n_end_cap=cap,
             outer="selected" if form.get("kind", "outer") == "outer" else "",
             inner="selected" if form.get("kind") == "inner" else "",
             force_matrix="checked" if "force_matrix" in form else "",
-            spheres=html.escape(form.get("spheres", _DEFAULT_SPHERES)),
+            sphere_rows=sphere_rows,
             axes=html.escape(form.get("axes", "0 1")),
             lim=html.escape(form.get("lim", "6")),
+            t=html.escape(form.get("t", "0")),
+            animate="checked" if "animate" in form else "",
+            balls=html.escape(form.get("balls", "")),
             slog="checked" if "slog" in form else "",
             status=status,
             images=images,
@@ -220,7 +369,12 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         length = int(self.headers.get("Content-Length", "0"))
         raw = self.rfile.read(length).decode()
-        form = {k: v[0] for k, v in parse_qs(raw, keep_blank_values=True).items()}
+        parsed = parse_qs(raw, keep_blank_values=True)
+        form = {k: v[0] for k, v in parsed.items()}
+        form["sphere_list"] = parsed.get("sphere", [])
+        # legacy single-textarea clients (round-1 form layout)
+        if not form["sphere_list"] and form.get("spheres"):
+            form["sphere_list"] = form["spheres"].splitlines()
         form["_submitted"] = "1"
         self._respond(form)
 

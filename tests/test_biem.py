@@ -67,6 +67,39 @@ def test_golden_values(btype, n_end, ref, tol):
     assert abs(u0 - ref) < tol, f"{btype}: {u0} vs {ref}"
 
 
+def test_exact_truncated_system_n_end_1():
+    """At n_end=1 (one harmonic per ball) the 2-ball 2D system is a 2x2
+    linear system whose entries are analytic: diag = SD*H_0(k*rho),
+    offdiag = SD*H_0(k*|c0-c1|)*J_0(k*rho), SD = i*(k*J_0'(k) - i*eta*J_0(k)).
+    Our exact Graf translation must reproduce the hand solve to ~1e-14.
+
+    (The reference's committed value at this row, -0.700937-1.081159j in
+    accuracy_k_a.csv, embeds its triplet method's truncation error in the
+    (S|R) element itself; ours is the exact truncated-Galerkin solution.
+    Converged rows n>=4 agree with the reference to 6 d.p. — see
+    test_golden_values and PARITY.md.)"""
+    from scipy.special import hankel1, jv, jvp
+
+    k = rho = eta = 1.0
+    slc = 1j * jv(0, k * rho)
+    dlc = 1j * k * jvp(0, k * rho)
+    sd = dlc - 1j * eta * slc
+    t = 4.0
+    a_mat = np.array(
+        [
+            [sd * hankel1(0, k * rho), sd * hankel1(0, k * t) * jv(0, k * rho)],
+            [sd * hankel1(0, k * t) * jv(0, k * rho), sd * hankel1(0, k * rho)],
+        ]
+    )
+    f = -np.exp(1j * k * np.zeros(2)) * jv(0, k * rho) * np.sqrt(2 * np.pi)
+    phi = np.linalg.solve(a_mat, f)
+    expected = complex(np.sum(phi * sd * hankel1(0, 2 * k)) / np.sqrt(2 * np.pi))
+
+    c, calc = _two_sphere_problem("a", 1)
+    u0 = complex(tonp(calc.uscat(jnp.zeros((2, 1)))).reshape(-1)[0])
+    assert abs(u0 - expected) < 1e-12, f"{u0} vs {expected}"
+
+
 def test_convergence_in_n_end():
     vals = []
     for n_end in (4, 6, 8):

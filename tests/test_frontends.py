@@ -154,6 +154,7 @@ def test_gui_solver_handler():
 
 def test_gui_http_roundtrip():
     import threading
+    import urllib.parse
     import urllib.request
     from http.server import ThreadingHTTPServer
 
@@ -168,6 +169,56 @@ def test_gui_http_roundtrip():
             f"http://127.0.0.1:{port}/", timeout=30
         ).read()
         assert b"biem-helmholtz-sphere-tpu" in page
+        # widget parity with reference gui.py:30-254: device/dtype
+        # enumeration, force_matrix, add/remove sphere rows, animation
+        # and time controls, progress indicator
+        for needle in (
+            b'name="device"',
+            b'name="dtype"',
+            b'name="force_matrix"',
+            b'name="sphere"',
+            b"addRow",
+            b'name="animate"',
+            b'name="t"',
+            b'id="progress"',
+        ):
+            assert needle in page, needle
+        # device options come from the live JAX backend
+        assert b"cpu:0" in page
+
+        # POST a 3-sphere problem through the multi-row sphere widgets
+        # on an explicit device/dtype (one ball Robin to cover alpha/beta
+        # parsing), checking the recompute + provenance line
+        data = urllib.parse.urlencode(
+            [
+                ("ctype", "custom"),
+                ("btype", "ba"),
+                ("dim", "3"),
+                ("device", "cpu:0"),
+                ("dtype", "float32"),
+                ("k", "1"),
+                ("eta", "1"),
+                ("n_end", "2"),
+                ("kind", "outer"),
+                ("sphere", "1+0j, 0+0j, 1.0, 0 2 0"),
+                ("sphere", "1+0j, 0+0j, 1.0, 0 -2 0"),
+                ("sphere", "1+0j, 1+0j, 0.5, 3 0 0"),
+                ("axes", "0 1"),
+                ("lim", "4"),
+                ("t", "0.25"),
+                ("fmt", "png"),
+            ]
+        ).encode()
+        resp = urllib.request.urlopen(
+            urllib.request.Request(f"http://127.0.0.1:{port}/", data=data),
+            timeout=300,
+        ).read()
+        assert b"uscat(0)" in resp, resp[-2000:]
+        assert b"device: cpu:0" in resp
+        assert b"base64" in resp
+        # the three posted sphere rows round-trip into the form (+1 for
+        # the addRow JS template literal)
+        assert resp.count(b'name="sphere"') == 3 + 1
     finally:
         httpd.shutdown()
         httpd.server_close()
