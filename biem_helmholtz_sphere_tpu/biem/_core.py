@@ -420,7 +420,9 @@ def _pair_routing(centers_np):
     return uniq, gth, sct, p_max
 
 
-def _matfree_operator(c, n_end, centers_np, radii, k, eta, alpha, beta, method):
+def _matfree_operator(
+    c, n_end, centers_np, radii, k, eta, alpha, beta, method, sr_map=None
+):
     """Matrix-free system operator for concrete geometry: (mv, diag).
 
     The dense block matrix (see _assemble) is never formed.  Pairs are
@@ -433,6 +435,11 @@ def _matfree_operator(c, n_end, centers_np, radii, k, eta, alpha, beta, method):
     what lets n_end=32 lattices with B >> 16 fit one chip.
 
     mv maps C [..., B*H] -> C [..., B*H]; diag is C [..., B*H].
+
+    sr_map: optional hook applied to the per-offset (S|R) tables
+    C [..., NO, H, H] after they are built — used by
+    parallel.sharded_solve to pin a device sharding over the offset axis
+    so each mesh device holds (and matmuls) only its own offsets.
     """
     b_ = basis(c, n_end)
     h_num = b_.num
@@ -450,6 +457,8 @@ def _matfree_operator(c, n_end, centers_np, radii, k, eta, alpha, beta, method):
     )  # C [..., NO, H, H]
     rdt = blc_col.dtype
     sr = sr.astype(rdt)
+    if sr_map is not None:
+        sr = sr_map(sr)
     # Materialization fence: pin the tables before the GMRES loop
     # consumes them so the per-offset (S|R) build (3 batched [NO,H,H]
     # matmuls via the rotation path) cannot be rematerialized per

@@ -127,6 +127,8 @@ def sharded_solve(
     mesh=None,
     axis_name="rows",
     tol=None,
+    matfree=False,
+    _return_fn=False,
 ):
     """Solve ONE BIEM system with the dense matrix row-sharded.
 
@@ -136,13 +138,28 @@ def sharded_solve(
     and inserts ICI collectives for the Krylov inner products.  Peak
     per-chip matrix memory drops by the mesh size, which is what makes
     n_end/B configurations beyond one chip's HBM feasible (the memory
-    model `max_memory` is per-chip).
+    model `max_memory` is per-chip).  Verified by compiled memory
+    analysis in tests/test_parallel.py::test_sharded_solve_memory.
+
+    matfree=True never forms the dense matrix at all: the per-offset
+    (S|R) tables C [NO, H, H] of the matrix-free operator
+    (biem._core._matfree_operator) are sharded over the offset axis, so
+    each device stores and applies only its own offsets' translation
+    blocks; the pair-scatter reduction rides an ICI psum inserted by
+    XLA.  This is the beyond-HBM path when even one row-shard of the
+    dense matrix is too large (memory then scales as NO·H²/n_devices,
+    not B²H²/n_devices).  Requires concrete (host) geometry.
 
     Returns the solved density [B, H] (replicated).
     """
     from jax.lax import with_sharding_constraint
 
-    from ..biem._core import _assemble, _check_biem_inputs, _rhs_dispatch
+    from ..biem._core import (
+        _assemble,
+        _check_biem_inputs,
+        _matfree_operator,
+        _rhs_dispatch,
+    )
     from ..ops import cplx
     from ..ops.cplx import C
 
@@ -151,17 +168,21 @@ def sharded_solve(
     rows = NamedSharding(mesh, P(axis_name, None))
     repl = NamedSharding(mesh, P())
     d = c.c_ndim
-    centers = jnp.asarray(centers)
-    radii = jnp.asarray(radii)
+    # geometry stays HOST numpy: the matfree pair routing needs concrete
+    # centers, and trace-time geometry dedup needs concreteness anyway
+    centers_np = np.asarray(centers)
+    radii_np = np.asarray(radii)
     k = jnp.asarray(k)
     direction = jnp.asarray(direction)
     # numpy (not device): eta_in is captured by step's closure below
     eta_in = None if eta is None else np.asarray(eta)
 
-    def step(k_, centers_, radii_, dir_):
+    offs = NamedSharding(mesh, P(axis_name, None, None))
+
+    def step(k_, dir_):
         uin, uin_grad = plane_wave(k=k_, direction=dir_)
         centers_c, radii_c, k_c, eta_c, alpha_c, beta_c = _check_biem_inputs(
-            c, centers_, radii_, k_, eta_in, alpha, beta
+            c, centers_np, radii_np, k_, eta_in, alpha, beta
         )
         f = _rhs_dispatch(
             c,
@@ -174,21 +195,36 @@ def sharded_solve(
             uin_grad if np.any(np.asarray(beta) != 0) else None,
             0,
         )
-        m = _assemble(
-            c, n_end, centers_c, radii_c, k_c, eta_c, alpha_c, beta_c, None
-        )
         b_, h_ = f.shape[-2:]
         n = b_ * h_
-        m2 = m.reshape((n, n))
-        m2 = C(
-            with_sharding_constraint(m2.re, rows),
-            with_sharding_constraint(m2.im, rows),
-        )
-        x = cplx.gmres_solve(m2, f.reshape((n,)), tol=tol)
+        if matfree:
+            def sr_map(sr):
+                return C(
+                    with_sharding_constraint(sr.re, offs),
+                    with_sharding_constraint(sr.im, offs),
+                )
+
+            mv, diag = _matfree_operator(
+                c, n_end, centers_np, radii_c, k_c, eta_c, alpha_c,
+                beta_c, None, sr_map=sr_map,
+            )
+            x = cplx.gmres_solve_op(mv, diag, f.reshape((n,)), tol=tol)
+        else:
+            m = _assemble(
+                c, n_end, centers_c, radii_c, k_c, eta_c, alpha_c, beta_c, None
+            )
+            m2 = m.reshape((n, n))
+            m2 = C(
+                with_sharding_constraint(m2.re, rows),
+                with_sharding_constraint(m2.im, rows),
+            )
+            x = cplx.gmres_solve(m2, f.reshape((n,)), tol=tol)
         return x.reshape((b_, h_))
 
-    fn = jax.jit(step, in_shardings=(repl, repl, repl, repl), out_shardings=repl)
-    return fn(k, centers, radii, direction)
+    fn = jax.jit(step, in_shardings=(repl, repl), out_shardings=repl)
+    if _return_fn:  # for compiled-memory-analysis tests
+        return fn, (k, direction)
+    return fn(k, direction)
 
 
 def sharded_uscat(calc, x, mesh=None, axis_name="points", **kw):
