@@ -3,4 +3,5 @@ src/biem_helmholtz_sphere/__main__.py:1-5)."""
 
 from .cli import main
 
-main()
+if __name__ == "__main__":
+    main()

@@ -818,6 +818,23 @@ def biem(
     path uses its own exact translation algorithms (Graf / rotation +
     coaxial) regardless of translational_coefficients_method, and the
     matrix-free solver does not use it.
+
+    The reference README example (README.md:116-125 there; golden value
+    pinned by its doctest harness) — two sound-soft unit spheres at
+    (0, +-2, 0), k=1, plane wave along x0:
+
+    >>> import numpy as np
+    >>> from biem_helmholtz_sphere_tpu import biem, plane_wave
+    >>> from biem_helmholtz_sphere_tpu.coords import (
+    ...     create_from_branching_types)
+    >>> c = create_from_branching_types("ba")
+    >>> uin, _ = plane_wave(k=np.asarray(1.0),
+    ...                     direction=np.asarray([1.0, 0.0, 0.0]))
+    >>> calc = biem(c, centers=np.array([[0., 2., 0.], [0., -2., 0.]]),
+    ...             radii=np.ones(2), k=np.asarray(1.0), n_end=6, uin=uin)
+    >>> u0 = complex(calc.uscat(np.zeros((3, 1))).to_numpy().ravel()[0])
+    >>> print(f"{u0:.5f}")
+    -0.74133-0.66966j
     """
     if solver not in ("auto", "direct", "gmres", "matfree"):
         raise ValueError(f"unknown solver {solver!r}")

@@ -13,7 +13,15 @@ _COMPLEX128_SIZE = 16
 
 
 def max_memory(*, c_ndim, n_end, n_balls):
-    """Peak memory of assembly as a function of problem size."""
+    """Peak memory of assembly as a function of problem size.
+
+    Matrix entries (not bytes), reference formula _biem.py:23-49.
+
+    >>> max_memory(c_ndim=3, n_end=6, n_balls=2)  # (2*36)^2
+    5184
+    >>> max_memory(c_ndim=2, n_end=4, n_balls=3)  # (3*7)^2
+    441
+    """
     if c_ndim <= 3:
         return n_balls**2 * harm_n_ndim_le(n_end, c_ndim) ** 2
 
@@ -29,7 +37,13 @@ def max_memory(*, c_ndim, n_end, n_balls):
 
 
 def max_n_end(*, c_ndim, memory_limit, n_balls):
-    """Largest n_end whose predicted footprint fits in memory_limit."""
+    """Largest n_end whose predicted footprint fits in memory_limit.
+
+    >>> max_n_end(c_ndim=3, memory_limit=5184, n_balls=2)
+    6
+    >>> max_n_end(c_ndim=3, memory_limit=5183, n_balls=2)
+    5
+    """
     i = 0
     for i in range(1000):
         if max_memory(c_ndim=c_ndim, n_end=i, n_balls=n_balls) > memory_limit:

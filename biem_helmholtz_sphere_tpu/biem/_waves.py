@@ -29,6 +29,15 @@ def plane_wave(*, k, direction):
 
     k: [...] (real array or C); direction: [c_ndim, ...].
     Returns (u_in, grad_u_in); both produce real-pair complex C values.
+
+    >>> import numpy as np
+    >>> uin, grad = plane_wave(k=np.asarray(2.0),
+    ...                        direction=np.asarray([1.0, 0.0]))
+    >>> complex(uin(np.zeros((2, 1))).to_numpy().ravel()[0])  # e^0
+    (1+0j)
+    >>> z = complex(uin(np.array([[np.pi / 4], [0.0]])).to_numpy()[0])
+    >>> print(f"{z:.6f}")  # e^{i k pi/4} = i at k=2
+    0.000000+1.000000j
     """
     if not isinstance(k, C):
         k = jnp.asarray(k)
@@ -76,6 +85,13 @@ def point_source(*, k, source, n=0):
     r"""Point source u(x) = h^{(1)}_n(k |x - source|) in d dimensions.
 
     k: [...]; source: [c_ndim, ...].  Returns (u_in, grad_u_in) -> C.
+
+    >>> import numpy as np
+    >>> uin, grad = point_source(k=np.asarray(1.0),
+    ...                          source=np.asarray([0.0, 0.0, 3.0]))
+    >>> u = uin(np.zeros((3, 1))).to_numpy().ravel()[0]  # h_0^(1)(3)
+    >>> print(f"{complex(u):.6f}")  # sin(3)/3 - i cos(3)/3
+    0.047040+0.329997j
     """
     if not isinstance(k, C):
         k = jnp.asarray(k)

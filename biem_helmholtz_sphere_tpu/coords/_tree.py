@@ -163,7 +163,18 @@ class SphericalCoordinates:
 
 
 def create_from_branching_types(s):
-    """Build coordinates from a branching-type string such as "ba" or "caa"."""
+    """Build coordinates from a branching-type string such as "ba" or "caa".
+
+    >>> create_from_branching_types("ba").c_ndim  # 3D spherical
+    3
+    >>> c = create_from_branching_types("caa")  # 4D, "c" splits 2+2
+    >>> c.c_ndim, c.s_ndim
+    (4, 3)
+    >>> create_from_branching_types("xy")
+    Traceback (most recent call last):
+        ...
+    ValueError: invalid branching type character 'x' in 'xy'
+    """
     spec, rest = _parse(s, 0)
     if rest != len(s):
         raise ValueError(f"trailing characters in branching type string {s!r}")

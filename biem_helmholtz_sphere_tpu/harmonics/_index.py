@@ -30,7 +30,15 @@ def harm_n_ndim(n, c_ndim):
 
 def harm_n_ndim_le(n_end, c_ndim):
     """Number of harmonics with degree < n_end (reference:
-    ush.harm_n_ndim_le, used by the memory model at _biem.py:44)."""
+    ush.harm_n_ndim_le, used by the memory model at _biem.py:44).
+
+    >>> harm_n_ndim_le(6, 3)  # 3D: n_end^2
+    36
+    >>> harm_n_ndim_le(4, 2)  # 2D: 2*n_end - 1
+    7
+    >>> harm_n_ndim_le(3, 4)  # 4D: sum of (n+1)^2
+    14
+    """
     return sum(harm_n_ndim(n, c_ndim) for n in range(n_end))
 
 

@@ -53,7 +53,15 @@ def _is_complex_like(x):
 
 @dataclass(frozen=True)
 class C:
-    """A complex array as a (re, im) pair of real arrays."""
+    """A complex array as a (re, im) pair of real arrays.
+
+    >>> import numpy as np
+    >>> z = C.of(1 + 2j) * C.of(3 - 1j)
+    >>> complex(z)
+    (5+5j)
+    >>> C.of(np.array([1.0, 2.0])).abs2().tolist()  # |z|^2
+    [1.0, 4.0]
+    """
 
     re: Any
     im: Any
