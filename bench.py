@@ -4,15 +4,23 @@ TPU chip in complex64 (real-pair representation; GMRES solver — the XLA
 TPU block-LU overflows scoped vmem beyond ~18k rows, and the second-kind
 combined-field system converges in tens of matvecs anyway).
 
-Baseline: the same algorithm in vectorized NumPy/SciPy on this machine's
-CPU (tools/baseline_numpy.py) — the reference package itself cannot run
-here (its ultrasphere/numba dependency stack is not installed; see
-BASELINE.md).  Raw measurements and methodology: BENCH_NOTES.md.  If a
-direct n_end=32 measurement exists in tools/baseline_32.log it is used;
-otherwise the conservative (sub-FLOP-exponent) extrapolation from the
-measured n_end=16/20 runs.
+Headline number: per-k-point wall time over a 100-point k sweep solved in
+k-blocks of KB (one compiled program, leading batch axis), which is how
+sweeps actually run (`accuracy --k-block`) and amortizes the ~24 ms axon
+dispatch floor (BENCH_NOTES.md "axon dispatch modes").  Also reported:
+per-k with one dispatch per k (the round-1 methodology), sweep
+bit-reproducibility (north star: "bitwise-stable across a 100-point k
+sweep"), and two baselines:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+  * vs_baseline — same-algorithm NumPy/SciPy on this host's CPU
+    (tools/baseline_numpy.py; measured in tools/baseline_32.log).  NOTE:
+    the NumPy translation stage uses the banded method, asymptotically
+    worse than the TPU path's rotation+coaxial — this ratio mixes
+    algorithm and hardware gains.
+  * vs_jax_cpu — the SAME code on this host's CPU via JAX (measured in
+    tools/jax_cpu_32.log), the honest hardware-only ratio.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -26,7 +34,7 @@ import numpy as np
 
 # Watchdog: the axon TPU tunnel can wedge (a stuck remote compile blocks
 # even device enumeration indefinitely).  Fail loudly instead of hanging
-# the caller; normal runs finish in ~2-4 min including first compiles.
+# the caller; normal runs finish in ~2-5 min including first compiles.
 _WATCHDOG_S = 1500
 
 
@@ -42,7 +50,10 @@ N_END = 32
 N_SIDE = 4  # 4x4 lattice -> 16 balls
 SPACING = 4.0
 K0 = 8.0
-N_K = 3  # timed k-points (distinct values, same compiled program)
+N_K = 3  # timed k-points for the single-dispatch comparison number
+SWEEP_N = 100  # k-points in the blocked sweep (the headline)
+KB = 2  # k-block size: GMRES holds ~3 KB-sized [KB,16384,16384] f32 temps
+# (re, im, one transposed-layout copy); KB=4 exceeds the 15.75G v5e HBM.
 EVAL_POINTS = 1 << 17
 EVAL_CHUNK = 2048
 
@@ -52,17 +63,15 @@ EVAL_CHUNK = 2048
 BASELINE_SECONDS_PER_K_FALLBACK = 3995.0
 
 
-def _baseline_seconds():
-    log = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "tools", "baseline_32.log")
+def _log_seconds(name, pattern, fallback=None):
+    log = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", name)
     try:
-        text = open(log).read()
-        m = re.search(r"n_end=32 B=16: total ([0-9.]+)s", text)
+        m = re.search(pattern, open(log).read())
         if m:
             return float(m.group(1)), "measured"
     except OSError:
         pass
-    return BASELINE_SECONDS_PER_K_FALLBACK, "extrapolated"
+    return fallback, "extrapolated" if fallback else "missing"
 
 
 def lattice_centers(n_side, spacing, d=3):
@@ -98,6 +107,7 @@ def main():
     centers = lattice_centers(N_SIDE, SPACING).astype(np.float32)
     radii = np.ones(N_SIDE * N_SIDE, dtype=np.float32)
     direction = np.array([1.0, 0.0, 0.0], dtype=np.float32)
+    nb = len(centers)
 
     def solve_step(k):
         uin, _ = plane_wave(k=k, direction=direction)
@@ -106,14 +116,65 @@ def main():
 
     solve_jit = jax.jit(solve_step)
 
+    # Batched geometry must stay HOST numpy: jnp.broadcast_to would turn
+    # centers into a tracer under jit and silently disable every
+    # trace-time concreteness optimization (offset dedup, block-gather —
+    # BENCH_NOTES.md "Concreteness fix"), tripling the assembly cost.
+    centers_b = np.broadcast_to(centers, (KB, nb, 3))
+    radii_b = np.broadcast_to(radii, (KB, nb))
+    dir_b = np.broadcast_to(direction[:, None], (3, KB))
+
+    def block_step(k):
+        # k: [KB] leading batch axis broadcast through assembly/solve/eval
+        uin, _ = plane_wave(k=k, direction=dir_b)
+        calc = biem(
+            c,
+            centers=centers_b,
+            radii=radii_b,
+            k=k,
+            n_end=N_END,
+            uin=uin,
+        )
+        u0 = calc.uscat(jnp.zeros((3, 1)))
+        return u0.re.reshape(KB), u0.im.reshape(KB)
+
+    block_jit = jax.jit(block_step)
+
     # compile (excluded from timing; persistent-cached across runs)
     solve_jit(jnp.float32(K0)).block_until_ready()
+    kwarm = np.linspace(K0 - 0.5, K0 - 0.4, KB).astype(np.float32)
+    block_jit(jnp.asarray(kwarm))[0].block_until_ready()
 
+    # (a) single dispatch per k (round-1 methodology, kept for comparison)
     ks = np.linspace(K0 - 0.25, K0 + 0.25, N_K).astype(np.float32)
     t0 = time.perf_counter()
     for kk in ks:
         solve_jit(jnp.float32(kk)).block_until_ready()
-    per_k = (time.perf_counter() - t0) / N_K
+    per_k_single = (time.perf_counter() - t0) / N_K
+
+    # (b) 100-point k sweep in KB-blocks: the headline.  Enqueue all
+    # blocks, then block on each output (sync-mode safe; BENCH_NOTES.md).
+    def run_sweep():
+        ksweep = np.linspace(K0 - 1.0, K0 + 1.0, SWEEP_N).astype(np.float32)
+        outs = []
+        t0 = time.perf_counter()
+        for i0 in range(0, SWEEP_N, KB):
+            outs.append(block_jit(jnp.asarray(ksweep[i0 : i0 + KB])))
+        for re_, im_ in outs:
+            re_.block_until_ready()
+            im_.block_until_ready()
+        dt = time.perf_counter() - t0
+        vals = np.concatenate(
+            [np.asarray(re_) + 1j * np.asarray(im_) for re_, im_ in outs]
+        )
+        return dt / SWEEP_N, vals
+
+    per_k_sweep, vals1 = run_sweep()
+    _, vals2 = run_sweep()
+    bitwise_stable = bool(
+        np.array_equal(vals1.view(np.float32), vals2.view(np.float32))
+    )
+    assert np.all(np.isfinite(vals1)), "sweep produced non-finite uscat"
 
     # field-evaluation throughput (chunked to bound [chunk, B, H] memory)
     uin, _ = plane_wave(k=jnp.float32(K0), direction=direction)
@@ -134,22 +195,35 @@ def main():
     eval_jit(calc, jnp.asarray(x)).block_until_ready()
     pts_per_s = EVAL_POINTS / (time.perf_counter() - t0)
 
-    baseline, kind = _baseline_seconds()
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "BIE assembly+solve wall-time per k-point, 16 balls, "
-                    f"n_end=32, 3D, complex64 on one TPU chip (uscat eval "
-                    f"{pts_per_s:.3e} pts/s; baseline {kind}: same-algorithm "
-                    "NumPy/SciPy on host CPU, see BENCH_NOTES.md)"
-                ),
-                "value": round(per_k, 4),
-                "unit": "s",
-                "vs_baseline": round(baseline / per_k, 1),
-            }
-        )
+    baseline, kind = _log_seconds(
+        "baseline_32.log",
+        r"n_end=32 B=16: total ([0-9.]+)s",
+        BASELINE_SECONDS_PER_K_FALLBACK,
     )
+    jax_cpu, jax_cpu_kind = _log_seconds(
+        "jax_cpu_32.log", r"per-k ([0-9.]+)s"
+    )
+    out = {
+        "metric": (
+            "BIE assembly+solve+uscat(0) per k-point over a 100-point "
+            f"k sweep (k-block={KB}), 16 balls, n_end=32, 3D, complex64 "
+            f"on one TPU chip (uscat eval {pts_per_s:.3e} pts/s; "
+            "vs_baseline: same-algorithm NumPy/SciPy on host CPU, "
+            "banded translation — mixes algorithm+hardware gains; "
+            "vs_jax_cpu: same code via JAX on host CPU)"
+        ),
+        "value": round(per_k_sweep, 4),
+        "unit": "s",
+        "vs_baseline": round(baseline / per_k_sweep, 1),
+        "per_k_single_dispatch": round(per_k_single, 4),
+        "sweep_bitwise_stable": bitwise_stable,
+        "baseline_kind": kind,
+        "eval_pts_per_s": round(pts_per_s, 1),
+    }
+    if jax_cpu is not None:
+        out["vs_jax_cpu"] = round(jax_cpu / per_k_sweep, 1)
+        out["jax_cpu_kind"] = jax_cpu_kind
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -85,6 +85,14 @@ def main(argv=None):
     ap.add_argument("--out-dir", default="accuracy")
     ap.add_argument("--k-max-log2", type=float, default=6.0)
     ap.add_argument("--n-end-max-log2", type=float, default=7.0)
+    ap.add_argument(
+        "--k-min-log2",
+        type=float,
+        default=0.0,
+        help="start the k grid here (extend an existing sweep toward "
+        "the extreme corner without re-running small configs)",
+    )
+    ap.add_argument("--n-end-min-log2", type=float, default=0.0)
     ap.add_argument("--n-balls-max-log4", type=int, default=3)
     ap.add_argument(
         "--k-block",
@@ -149,6 +157,8 @@ def main(argv=None):
             n_end_max_log2=args.n_end_max_log2,
             n_balls_max_log4=args.n_balls_max_log4,
             k_block=args.k_block,
+            k_min_log2=args.k_min_log2,
+            n_end_min_log2=args.n_end_min_log2,
         )
     elif args.cmd == "plot-accuracy":
         from ._accuracy import plot_accuracy

@@ -103,9 +103,14 @@ def _open_sweep_csv(path):
     return fh, wr
 
 
-def _n_end_grid(n_end_max_log2):
+def _n_end_grid(n_end_max_log2, n_end_min_log2=0.0):
     vals = sorted(
-        {int(2.0**e) for e in np.arange(0.0, n_end_max_log2 + 1e-9, 0.25)}
+        {
+            int(2.0**e)
+            for e in np.arange(
+                max(n_end_min_log2, 0.0), n_end_max_log2 + 1e-9, 0.25
+            )
+        }
     )
     return [v for v in vals if v >= 1]
 
@@ -118,6 +123,8 @@ def run_accuracy(
     n_end_max_log2=7.0,
     n_balls_max_log4=3,
     k_block=1,
+    k_min_log2=0.0,
+    n_end_min_log2=0.0,
 ):
     import jax.numpy as jnp
 
@@ -150,19 +157,20 @@ def run_accuracy(
             dir_j = np.asarray(direction)
 
             def fn(k):
-                # plane_wave wants direction [d, ...k-batch]
-                dir_b = jnp.broadcast_to(
+                # batch-rank agreement: centers/radii/direction carry the
+                # k batch.  Broadcast with NUMPY (k.shape is static at
+                # trace time) — jnp.broadcast_to would make the geometry
+                # a tracer and kill the trace-time concreteness
+                # optimizations (offset dedup, block-gather assembly).
+                nb = len(centers_j)
+                dir_b = np.broadcast_to(
                     dir_j.reshape((d,) + (1,) * k.ndim), (d,) + k.shape
                 )
                 uin, _ = plane_wave(k=k, direction=dir_b)
-                # batch-rank agreement: centers/radii carry the k batch
-                nb = len(centers_j)
                 calc = biem(
                     c,
-                    centers=jnp.broadcast_to(
-                        centers_j, k.shape + (nb, d)
-                    ),
-                    radii=jnp.broadcast_to(radii_j, k.shape + (nb,)),
+                    centers=np.broadcast_to(centers_j, k.shape + (nb, d)),
+                    radii=np.broadcast_to(radii_j, k.shape + (nb,)),
                     k=k,
                     n_end=n_end,
                     uin=uin,
@@ -249,9 +257,13 @@ def run_accuracy(
             direction[0] = 1.0
             if mode == "k":
                 centers = pair_centers(d)
-                kvals = [2.0**e for e in np.arange(0.0, k_max_log2 + 1e-9, 0.5)]
+                kvals = [
+                    2.0**e
+                    for e in np.arange(k_min_log2, k_max_log2 + 1e-9, 0.5)
+                ]
                 for n_end in tqdm(
-                    _n_end_grid(n_end_max_log2), desc=f"{btype} k-sweep"
+                    _n_end_grid(n_end_max_log2, n_end_min_log2),
+                    desc=f"{btype} k-sweep",
                 ):
                     try:
                         step = make_step(c, centers, n_end, direction)
