@@ -30,6 +30,57 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Smoke/slow tiering (the reference excludes heavy numerics from CI the
+# same way, SURVEY.md section 4).  Tests below are compile-heavy (>10 s
+# each even with a warm persistent cache); `pytest -m "not slow"` is the
+# <5 min smoke tier and still covers every subsystem, including the
+# canonical README golden (test_golden_values[ba-...], deliberately NOT
+# listed here).  Matched by nodeid prefix so parametrized variants can
+# be tiered individually.
+_SLOW_NODEID_PREFIXES = (
+    "test_biem.py::test_stable_f32_beyond_overflow",
+    "test_biem.py::test_batched_k_sweep_and_jit",
+    "test_biem.py::test_robin_bc_and_point_source",
+    "test_biem.py::test_convergence_in_n_end",
+    "test_biem.py::test_input_validation",
+    "test_biem.py::test_analytic_plane_wave_rhs_matches_quadrature",
+    "test_biem.py::test_analytic_plane_wave_rhs_batched_k",
+    "test_biem.py::test_boundary_condition_residual",
+    "test_biem.py::test_matfree_gmres_matches_direct",
+    "test_biem.py::test_golden_values[bba",
+    "test_biem.py::test_golden_values[bpbpa",
+    "test_biem.py::test_golden_values[caa",
+    "test_biem.py::test_golden_values[a-",
+    "test_biem.py::test_lattice_64_sphere_converged_value",
+    "test_biem.py::test_stable_f64_beyond_f64_overflow",
+    "test_biem.py::test_fused_eval_matches_general",
+    "test_special.py::test_complex_argument",
+    "test_frontends.py::test_accuracy_sweep_and_heatmap",
+    "test_frontends.py::test_accuracy_sweep_k_block_matches_scalar",
+    "test_frontends.py::test_gui_solver_handler",
+    "test_frontends.py::test_gui_http_roundtrip",
+    "test_frontends.py::test_jascome_and_clean",
+    "test_frontends.py::test_plots",
+    "test_stress.py::test_2d_very_large_n_end_runs",
+    "test_stress.py::test_2d_high_k_regime",
+    "test_stress.py::test_inner_problem_masking_and_solve",
+    "test_rotation_translation.py::test_rotation_matches_band_scan[bcaa",
+    "test_rotation_translation.py::test_rotation_matches_band_scan[bba",
+    "test_rotation_translation.py::test_rotation_float32_scale_discipline",
+    "test_translation.py::test_large_n_end_stability",
+    "test_translation.py::test_translation_addition_theorem[caa",
+    "test_translation.py::test_gumerov_coaxial_matches_quadrature",
+    "test_parallel.py::test_sharded_solve_matfree_matches_dense",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = pytest.mark.slow
+    for item in items:
+        nid = item.nodeid.split("/")[-1]  # strip tests/ dir prefix
+        if nid.startswith(_SLOW_NODEID_PREFIXES):
+            item.add_marker(slow)
+
 
 @pytest.fixture(params=["complex64", "complex128"], scope="session")
 def cdtype(request):
