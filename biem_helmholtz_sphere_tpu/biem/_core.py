@@ -942,10 +942,27 @@ def biem(
             and centers.ndim == 2
         )
         if matfree:
-            mv, diag = _matfree_operator(
+            # lattice geometries (the reference CLI's n_balls sweeps)
+            # get the FFT block-convolution matvec: nothing of size B^2
+            # is ever formed, so 1024-4096-sphere lattices fit one chip
+            from ._lattice import lattice_operator
+
+            centers_np = np.asarray(centers)
+            op = lattice_operator(
                 c,
                 n_end,
-                np.asarray(centers),
+                centers_np,
+                radii,
+                k,
+                eta,
+                alpha,
+                beta,
+                translational_coefficients_method,
+            )
+            mv, diag = op if op is not None else _matfree_operator(
+                c,
+                n_end,
+                centers_np,
                 radii,
                 k,
                 eta,

@@ -127,8 +127,15 @@ def fused_ba_dot(c, n_end, w, theta, phi, rad=None):
         pp = ((x_ - a_f) * pn - b_f * pm) / b1_f
         return (pn, pp, acc), None
 
+    # Unrolling keeps the [..., B, M] accumulator and the [..., B, F]
+    # recurrence pair in registers across degree steps instead of
+    # round-tripping them through HBM as scan carries — the carry
+    # traffic (~n_end * B * (M + F) * 8 bytes per point) is what bounds
+    # eval throughput on TPU.  Full unroll up to n_end = 64.
+    unroll = n if n <= 64 else 8
     (_, _, acc), _ = jax.lax.scan(
-        step, (pm0, p0, acc0), (a_j, b_j, b_j1, w2_steps, rad_steps)
+        step, (pm0, p0, acc0), (a_j, b_j, b_j1, w2_steps, rad_steps),
+        unroll=unroll,
     )
 
     st = jnp.sin(theta).astype(rdt)

@@ -47,6 +47,7 @@ _SLOW_NODEID_PREFIXES = (
     "test_biem.py::test_analytic_plane_wave_rhs_batched_k",
     "test_biem.py::test_boundary_condition_residual",
     "test_biem.py::test_matfree_gmres_matches_direct",
+    "test_biem.py::test_lattice_fft_matfree_matches_direct",
     "test_biem.py::test_golden_values[bba",
     "test_biem.py::test_golden_values[bpbpa",
     "test_biem.py::test_golden_values[caa",

@@ -339,6 +339,92 @@ def test_matfree_gmres_matches_direct():
     assert np.abs(d_m - d_d).max() / np.abs(d_d).max() < 1e-10
 
 
+def test_lattice_routing_detection():
+    # Host-side lattice detector (biem/_lattice.py): accepts the CLI's
+    # square lattices (reference cli.py:170-185) and a z=0 plane lattice
+    # embedded in 3D; rejects the two-ball pair and irregular geometry.
+    from biem_helmholtz_sphere_tpu.biem._lattice import lattice_routing
+    from biem_helmholtz_sphere_tpu.cli._accuracy import (
+        lattice_centers,
+        pair_centers,
+    )
+
+    r = lattice_routing(lattice_centers(4, 2))
+    assert r is not None
+    axes, spacings, shape, cell2ball, ball2cell = r
+    assert shape == (4, 4) and axes == [0, 1]
+    np.testing.assert_allclose(spacings, [4.0, 4.0], rtol=1e-12)
+    # ball -> cell -> ball roundtrip is the identity
+    assert (cell2ball[ball2cell] == np.arange(16)).all()
+    # exact reconstruction: centers[cell2ball[i*Ly+j]] == origin + (i, j)*s
+    cen = lattice_centers(4, 2)
+    grid = cen[cell2ball].reshape(4, 4, 2)
+    np.testing.assert_allclose(np.diff(grid[:, :, 0], axis=0), 4.0, rtol=1e-12)
+    np.testing.assert_allclose(np.diff(grid[:, :, 1], axis=1), 4.0, rtol=1e-12)
+
+    r3 = lattice_routing(
+        np.concatenate([lattice_centers(3, 2), np.zeros((9, 1))], axis=1)
+    )
+    assert r3 is not None and r3[2] == (3, 3)
+
+    assert lattice_routing(pair_centers(3)) is None  # < 4 balls
+    rng_ = np.random.default_rng(3)
+    assert lattice_routing(rng_.normal(size=(5, 3)) * 6.0) is None
+    # lattice with one sphere moved off-grid is NOT a lattice
+    broken = lattice_centers(3, 2)
+    broken[4, 0] += 0.37
+    assert lattice_routing(broken) is None
+
+
+def test_lattice_fft_matfree_matches_direct():
+    # The FFT block-convolution matvec (biem/_lattice.py) vs the dense
+    # direct solve on a 3x3 2D lattice — the geometry family of the
+    # reference CLI's n_balls sweeps (reference cli.py:214).  Also checks
+    # a batched-k solve through the same path.
+    from biem_helmholtz_sphere_tpu.biem._lattice import lattice_routing
+    from biem_helmholtz_sphere_tpu.cli._accuracy import lattice_centers
+
+    c = create_from_branching_types("a")
+    centers = lattice_centers(3, 2)
+    assert lattice_routing(centers) is not None
+    radii = jnp.ones(9)
+    k = jnp.asarray(1.1)
+    uin, uin_grad = plane_wave(k=k, direction=jnp.asarray([1.0, 0.0]))
+    kw = dict(
+        centers=centers, radii=radii, k=k, n_end=6,
+        uin=uin, uin_grad=uin_grad, alpha=1.0, beta=0.5, eta=1.0,
+    )
+    cal_d = biem(c, **kw, solver="direct")
+    cal_m = biem(c, **kw, solver="matfree")
+    assert cal_m.matrix is None
+    dd = tonp(cal_d.density)
+    dm = tonp(cal_m.density)
+    assert np.abs(dm - dd).max() / np.abs(dd).max() < 1e-9
+
+    # batched k rides the same compiled FFT matvec
+    kb = jnp.asarray([0.9, 1.3])
+    nb = 9
+    uin_b, _ = plane_wave(
+        k=kb, direction=np.broadcast_to(np.array([1.0, 0.0])[:, None], (2, 2))
+    )
+    kwb = dict(
+        centers=np.broadcast_to(centers, (2, nb, 2)),
+        radii=np.ones((2, nb)), k=kb, n_end=5, uin=uin_b, eta=tonp(kb * 0 + 1.0),
+    )
+    db = tonp(biem(c, **kwb, solver="direct").density)
+    # batched geometry is not concrete-2D; solve each k via the lattice
+    # path and compare rows
+    for i, ki in enumerate([0.9, 1.3]):
+        ui, _ = plane_wave(k=jnp.asarray(ki), direction=jnp.asarray([1.0, 0.0]))
+        di = tonp(
+            biem(
+                c, centers=centers, radii=jnp.ones(nb), k=jnp.asarray(ki),
+                n_end=5, uin=ui, solver="matfree",
+            ).density
+        )
+        assert np.abs(di - db[i]).max() / np.abs(db[i]).max() < 1e-9
+
+
 def test_fused_eval_matches_general(rng):
     # The 3D "ba" fused evaluation (biem/_eval_fused.py) against the
     # materialized-harmonics general path: near field, far field,
