@@ -926,32 +926,28 @@ def biem(
         use_matfree = solver == "matfree" or (
             solver == "auto" and dense_bytes > dense_limit
         )
-        use_gmres = (
-            use_matfree
-            or solver == "gmres"
-            or (solver == "auto" and n_sys > lu_limit)
-        )
         # the matfree matvec additionally needs concrete single-instance
         # geometry and an rhs (nothing forcing the dense matrix to exist)
-        matfree = (
-            use_matfree
-            and f_exp is not None
+        matfree_ok = (
+            f_exp is not None
             and not force_matrix
             and n_balls > 1
             and _is_concrete(centers)
             and centers.ndim == 2
         )
-        if matfree:
-            # lattice geometries (the reference CLI's n_balls sweeps)
-            # get the FFT block-convolution matvec: nothing of size B^2
-            # is ever formed, so 1024-4096-sphere lattices fit one chip
+        # lattice geometries (the reference CLI's n_balls sweeps) get
+        # the FFT block-convolution matvec: nothing of size B^2 is ever
+        # formed, so 1024-4096-sphere lattices fit one chip.  For B >=
+        # 64 the O(B log B) matvec + O(B) kernel build also beat dense
+        # assembly outright, so auto prefers it well before dense_limit.
+        op = None
+        if matfree_ok and (use_matfree or (solver == "auto" and n_balls >= 64)):
             from ._lattice import lattice_operator
 
-            centers_np = np.asarray(centers)
             op = lattice_operator(
                 c,
                 n_end,
-                centers_np,
+                np.asarray(centers),
                 radii,
                 k,
                 eta,
@@ -959,10 +955,18 @@ def biem(
                 beta,
                 translational_coefficients_method,
             )
+        matfree = matfree_ok and (use_matfree or op is not None)
+        use_gmres = (
+            matfree
+            or use_matfree
+            or solver == "gmres"
+            or (solver == "auto" and n_sys > lu_limit)
+        )
+        if matfree:
             mv, diag = op if op is not None else _matfree_operator(
                 c,
                 n_end,
-                centers_np,
+                np.asarray(centers),
                 radii,
                 k,
                 eta,

@@ -37,6 +37,10 @@ from ..ops import cplx
 from ..ops.cplx import C
 from ..special._jacobi import jacobi_recurrence
 
+# Probe hook (tools/eval_unroll_probe.py): nonzero forces the scan
+# unroll factor. jit caches key on the value read at trace time.
+_UNROLL_OVERRIDE = 0
+
 
 def is_ba_tree(c):
     """True for the 3D "ba" tree (root 'b'/'bp' with a single 'a' child)."""
@@ -127,12 +131,12 @@ def fused_ba_dot(c, n_end, w, theta, phi, rad=None):
         pp = ((x_ - a_f) * pn - b_f * pm) / b1_f
         return (pn, pp, acc), None
 
-    # Unrolling keeps the [..., B, M] accumulator and the [..., B, F]
-    # recurrence pair in registers across degree steps instead of
-    # round-tripping them through HBM as scan carries — the carry
-    # traffic (~n_end * B * (M + F) * 8 bytes per point) is what bounds
-    # eval throughput on TPU.  Full unroll up to n_end = 64.
-    unroll = n if n <= 64 else 8
+    # MEASURED (tools/eval_unroll_probe.py, v5e, B=16 n_end=32): scan
+    # unrolling only hurts here — 9.7e5 pts/s at unroll=1 vs 5.7e5 at 8
+    # and 4.3e5 at 32.  The unrolled body bloats the fused loop past
+    # what the VPU scheduler handles well; the carry round-trip theory
+    # did not survive contact with the hardware.  Keep unroll=1.
+    unroll = _UNROLL_OVERRIDE or 1
     (_, _, acc), _ = jax.lax.scan(
         step, (pm0, p0, acc0), (a_j, b_j, b_j1, w2_steps, rad_steps),
         unroll=unroll,

@@ -95,6 +95,14 @@ def main(argv=None):
     ap.add_argument("--n-end-min-log2", type=float, default=0.0)
     ap.add_argument("--n-balls-max-log4", type=int, default=3)
     ap.add_argument(
+        "--n-balls-min-log4",
+        type=int,
+        default=0,
+        help="start the lattice grid at (2*2^m)^2 spheres with m = this "
+        "(extend an existing n_balls sweep without re-running small "
+        "lattices)",
+    )
+    ap.add_argument(
         "--k-block",
         type=int,
         default=1,
@@ -156,6 +164,7 @@ def main(argv=None):
             k_max_log2=args.k_max_log2,
             n_end_max_log2=args.n_end_max_log2,
             n_balls_max_log4=args.n_balls_max_log4,
+            n_balls_min_log4=args.n_balls_min_log4,
             k_block=args.k_block,
             k_min_log2=args.k_min_log2,
             n_end_min_log2=args.n_end_min_log2,

@@ -125,6 +125,7 @@ def run_accuracy(
     k_block=1,
     k_min_log2=0.0,
     n_end_min_log2=0.0,
+    n_balls_min_log4=0,
 ):
     import jax.numpy as jnp
 
@@ -278,10 +279,10 @@ def run_accuracy(
             else:
                 lattices = [
                     lattice_centers(2 * 2**m, d)
-                    for m in range(0, n_balls_max_log4 + 1)
+                    for m in range(n_balls_min_log4, n_balls_max_log4 + 1)
                 ]
                 for centers in tqdm(lattices, desc=f"{btype} n_balls-sweep"):
-                    for n_end in _n_end_grid(n_end_max_log2):
+                    for n_end in _n_end_grid(n_end_max_log2, n_end_min_log2):
                         try:
                             step = make_step(c, centers, n_end, direction)
                         except Exception as e:  # pragma: no cover

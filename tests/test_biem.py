@@ -425,6 +425,33 @@ def test_lattice_fft_matfree_matches_direct():
         assert np.abs(di - db[i]).max() / np.abs(db[i]).max() < 1e-9
 
 
+def test_auto_policy_prefers_lattice_matfree():
+    # solver="auto" routes lattices of >= 64 spheres to the FFT
+    # block-convolution matvec (no B^2 matrix), well before the dense
+    # memory limit, and matches the dense GMRES solve; small lattices
+    # keep the dense path (one big MXU matvec per iteration wins there).
+    from biem_helmholtz_sphere_tpu.cli._accuracy import lattice_centers
+
+    c = create_from_branching_types("a")
+    uin, _ = plane_wave(k=jnp.asarray(1.0), direction=jnp.asarray([1.0, 0.0]))
+    cal = biem(
+        c, centers=lattice_centers(8, 2), radii=jnp.ones(64),
+        k=jnp.asarray(1.0), n_end=4, uin=uin,
+    )
+    assert cal.matrix is None  # lattice-matfree routed
+    cal_g = biem(
+        c, centers=lattice_centers(8, 2), radii=jnp.ones(64),
+        k=jnp.asarray(1.0), n_end=4, uin=uin, solver="gmres",
+    )
+    da, dg = tonp(cal.density), tonp(cal_g.density)
+    assert np.abs(da - dg).max() / np.abs(dg).max() < 1e-9
+    cal16 = biem(
+        c, centers=lattice_centers(4, 2), radii=jnp.ones(16),
+        k=jnp.asarray(1.0), n_end=4, uin=uin,
+    )
+    assert cal16.matrix is not None  # small lattice keeps dense
+
+
 def test_fused_eval_matches_general(rng):
     # The 3D "ba" fused evaluation (biem/_eval_fused.py) against the
     # materialized-harmonics general path: near field, far field,
