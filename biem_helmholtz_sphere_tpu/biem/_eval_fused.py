@@ -15,9 +15,19 @@ so the contraction regroups per signed order m and Jacobi degree j:
       sum_m  A_m(ph, th) sum_j p~_j^{(|m|)}(cos th) rad_{j+|m|} w[m, j]
 
 and the inner j-sum rides INSIDE the Jacobi three-term-recurrence scan:
-the carry is (p_{j-1}, p_j, acc[..., B, M]) and nothing of size
+the carry is (p_{l-1}, p_l, acc[..., B, M]) and nothing of size
 [points, B, H] is ever written.  Working set drops from O(points*B*H)
 to O(points*B*M), ~n_end-fold less HBM traffic.
+
+The scan is indexed by DEGREE l (not per-family Jacobi degree j) in
+"slot space": one lane per signed order m, each running its family's
+(|m|, |m|) recurrence with per-step coefficient tables gathered at
+trace time, seeded mid-scan at l == |m| via a static mask.  Degree-major
+order makes the near-field radial factor h^(1)_l(kr) a plain per-step
+SLICE rad[..., l] broadcast over m — the j-major form needed a
+[points, B, M] gather per step, and a second gather mapped family
+recurrences to slots; both forced XLA out of a single fused elementwise
+scan body (measured 9.7e5 -> see BENCH_NOTES.md round-2 eval section).
 
 `rad` carries the per-point radial factor h^{(1)}_l(kr) for the near
 field (folded in by degree l = j + |m| via a per-step static gather);
@@ -54,7 +64,14 @@ def is_ba_tree(c):
 
 @lru_cache(maxsize=32)
 def _fused_tables(c, n_end):
-    """Static tables: recurrence coefficients and index maps (numpy)."""
+    """Static degree-major slot-space tables (numpy, trace-time).
+
+    Slot m runs the orthonormal Jacobi (|m|, |m|) three-term recurrence
+    re-indexed by degree l = j + |m|: zero until l = |m| - 1, seeded with
+    p_0 = 1/b0 at l = |m|, recurring for l > |m|.  All per-step
+    family-dependent coefficient lookups are resolved HERE into dense
+    [n, M] tables so the scan body is pure elementwise arithmetic.
+    """
     b_ = basis(c, n_end)
     ell = np.array(
         [b_.node_jobs[c.root.nid][j][1] for j in b_.node_job_index[c.root.nid]],
@@ -69,18 +86,27 @@ def _fused_tables(c, n_end):
     m_axis = np.arange(-(n - 1), n)  # signed m per M-slot
     m_abs = np.abs(m_axis)
     n_m = len(m_axis)  # M = 2n - 1
-    # h index per (m-slot, j); -1 where j >= n - |m|
+    # h index per (m-slot, degree l); -1 where l < |m| or l >= n
     hmap = -np.ones((n_m, n), dtype=np.int64)
-    hmap[mm + (n - 1), ell - np.abs(mm)] = np.arange(b_.num)
+    hmap[mm + (n - 1), ell] = np.arange(b_.num)
     valid = hmap >= 0
     # orthonormal Jacobi recurrence coefficients per |m| family
     a_tab = np.zeros((n, n + 1))
     b_tab = np.zeros((n, n + 1))
     for f in range(n):
         a_tab[f], b_tab[f] = jacobi_recurrence(n, float(f), float(f))
-    # per-step radial gather order j + |m| (clipped; invalid masked by w2)
-    rad_idx = np.minimum(np.arange(n)[:, None] + m_abs[None, :], n - 1)
-    return m_axis, m_abs, hmap, valid, a_tab, b_tab, rad_idx
+    # degree-major per-step coefficient tables [n(l), M]
+    lg = np.arange(n)[:, None]  # l
+    fg = m_abs[None, :]  # |m|
+    j1 = lg - fg - 1  # recurrence step index, meaningful for l > |m|
+    rec = j1 >= 0
+    j1c = np.clip(j1, 0, n - 1)
+    A_lm = np.where(rec, a_tab[fg, j1c], 0.0)
+    B_lm = np.where(rec, b_tab[fg, j1c], 0.0)
+    B1_lm = np.where(rec, b_tab[fg, j1c + 1], 1.0)
+    seed_lm = lg == fg
+    p0_m = 1.0 / b_tab[m_abs, 0]
+    return m_axis, m_abs, hmap, valid, A_lm, B_lm, B1_lm, seed_lm, p0_m
 
 
 def fused_ba_dot(c, n_end, w, theta, phi, rad=None):
@@ -91,59 +117,67 @@ def fused_ba_dot(c, n_end, w, theta, phi, rad=None):
     rad: C [..., B, L>=n_end] per-point radial table indexed by degree,
     or None (factor 1).
     """
-    m_axis, m_abs, hmap, valid, a_tab, b_tab, rad_idx = _fused_tables(c, n_end)
+    m_axis, m_abs, hmap, valid, A_lm, B_lm, B1_lm, seed_lm, p0_m = (
+        _fused_tables(c, n_end)
+    )
     n = n_end
+    n_m = len(m_axis)
     rdt = jnp.result_type(theta.dtype, jnp.float32)
     w = C.of(w).astype(rdt)
     if rad is not None:
         rad = rad.astype(rdt)
-    # regroup w -> [..., B, M, D] (small: no point axes), invalid -> 0
+    # regroup w -> [..., B, M, n(l)] (small: no point axes), invalid -> 0
     w2 = cplx.take(w, jnp.asarray(np.maximum(hmap, 0)), axis=-1)
     w2 = w2 * jnp.asarray(valid, dtype=rdt)
     ct = jnp.cos(theta)
-    fam = jnp.asarray(m_abs)  # [M]
 
-    a_j = jnp.asarray(a_tab[:, :n].T.copy(), rdt)  # [D, F]
-    b_j = jnp.asarray(b_tab[:, :n].T.copy(), rdt)
-    b_j1 = jnp.asarray(b_tab[:, 1 : n + 1].T.copy(), rdt)
-    w2_steps = cplx.moveaxis(w2, -1, 0)  # [D, ..., B, M]
-    rad_steps = jnp.asarray(rad_idx)  # [D, M]
+    a_l = jnp.asarray(A_lm, rdt)  # [n(l), M]
+    b_l = jnp.asarray(B_lm, rdt)
+    b1_l = jnp.asarray(B1_lm, rdt)
+    seed_l = jnp.asarray(seed_lm)  # bool [n(l), M]
+    p0v = jnp.asarray(p0_m, rdt)  # [M]
+    w2_steps = cplx.moveaxis(w2, -1, 0)  # [n(l), ..., B, M]
+    xs = (a_l, b_l, b1_l, seed_l, w2_steps)
+    if rad is not None:
+        # degree-major order: the radial factor at step l is the SLICE
+        # rad[..., l] broadcast over m — no gather in the scan body
+        xs = xs + (cplx.moveaxis(rad[..., :n], -1, 0),)  # [n(l), ..., B]
 
-    x_ = ct[..., None].astype(rdt)  # [..., B, 1(F)]
-    p0 = jnp.ones_like(x_) / jnp.asarray(b_tab[:, 0], rdt)  # [..., B, F]
-    pm0 = jnp.zeros_like(p0)
+    x_ = ct[..., None].astype(rdt)  # [..., B, 1(M)]
+    pn0 = jnp.zeros(x_.shape[:-1] + (n_m,), rdt)  # [..., B, M]
+    pm0 = pn0
 
     batch = jnp.broadcast_shapes(
-        w2.re.shape[:-2],
+        w.re.shape[:-1],
         theta.shape,
         () if rad is None else rad.re.shape[:-1],
     )
-    acc0 = C.zeros(batch + (len(m_axis),), dtype=rdt)
+    acc0 = C.zeros(batch + (n_m,), dtype=rdt)
 
     def step(carry, xs):
         pm, pn, acc = carry
-        a_f, b_f, b1_f, w2_j, ridx = xs
-        pj_m = jnp.take(pn, fam, axis=-1)  # [..., B, M]
-        contrib = w2_j * pj_m
-        if rad is not None:
-            contrib = contrib * cplx.take(rad, ridx, axis=-1)
-        acc = acc + contrib
+        a_f, b_f, b1_f, sd, w2_l = xs[:5]
+        # slot m's (|m|, |m|) recurrence advanced to degree l; zeros
+        # propagate below the seed row, p0 injected at l == |m|
         pp = ((x_ - a_f) * pn - b_f * pm) / b1_f
+        pp = jnp.where(sd, p0v, pp)
+        contrib = w2_l * pp
+        if rad is not None:
+            contrib = contrib * xs[5][..., None]
+        acc = acc + contrib
         return (pn, pp, acc), None
 
     # MEASURED (tools/eval_unroll_probe.py, v5e, B=16 n_end=32): scan
-    # unrolling only hurts here — 9.7e5 pts/s at unroll=1 vs 5.7e5 at 8
-    # and 4.3e5 at 32.  The unrolled body bloats the fused loop past
-    # what the VPU scheduler handles well; the carry round-trip theory
-    # did not survive contact with the hardware.  Keep unroll=1.
+    # unrolling only hurt the j-major gathering body (9.7e5 pts/s at
+    # unroll=1 vs 5.7e5 at 8); re-measure if the elementwise body shifts
+    # the balance.
     unroll = _UNROLL_OVERRIDE or 1
-    (_, _, acc), _ = jax.lax.scan(
-        step, (pm0, p0, acc0), (a_j, b_j, b_j1, w2_steps, rad_steps),
-        unroll=unroll,
-    )
+    (_, _, acc), _ = jax.lax.scan(step, (pm0, pn0, acc0), xs, unroll=unroll)
 
     st = jnp.sin(theta).astype(rdt)
-    stpow = jnp.take(_int_powers(st, n - 1), fam, axis=-1)  # [..., B, M]
+    stpow = jnp.take(
+        _int_powers(st, n - 1), jnp.asarray(m_abs), axis=-1
+    )  # [..., B, M]
     az = cplx.expi(phi[..., None].astype(rdt) * jnp.asarray(m_axis, rdt))
     out = (acc * az * stpow).sum(axis=-1)
     return out * (1.0 / np.sqrt(2.0 * np.pi))
