@@ -191,9 +191,14 @@ def main():
     rng = np.random.default_rng(0)
     x = rng.normal(size=(3, EVAL_POINTS)).astype(np.float32) * 20.0
     eval_jit(calc, jnp.asarray(x)).block_until_ready()  # compile
-    t0 = time.perf_counter()
-    eval_jit(calc, jnp.asarray(x)).block_until_ready()
-    pts_per_s = EVAL_POINTS / (time.perf_counter() - t0)
+    # best-of-3: single-shot timing swung 2x run-to-run on the axon
+    # tunnel (round-2 notes); the min is the device-limited number
+    dt_best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        eval_jit(calc, jnp.asarray(x)).block_until_ready()
+        dt_best = min(dt_best, time.perf_counter() - t0)
+    pts_per_s = EVAL_POINTS / dt_best
 
     baseline, kind = _log_seconds(
         "baseline_32.log",
