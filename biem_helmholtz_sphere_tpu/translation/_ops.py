@@ -125,17 +125,28 @@ def _graf_2d(c, t_sph, n_out, n_in, k, kind):
     """
     mo = _a_node_m(c, n_out)
     mi = _a_node_m(c, n_in)
-    mu = mi[None, :] - mo[:, None]  # [Ho, Hi], in - out
-    mu_max = int(np.abs(mu).max())
+    mu_max = int(np.abs(mi).max() + np.abs(mo).max())
     r_t = t_sph["r"]
     theta = t_sph[c.root.nid]
     z = C.of(k) * r_t if isinstance(k, C) else jnp.asarray(k) * r_t
     jf, _, hf, _ = spherical_jh_all(2, mu_max + 1, z)
     tab = hf if kind == "SR" else jf  # sqrt(pi/2) * (H or J)
     tab = tab * np.sqrt(2.0 / np.pi)  # back to standard cylinder functions
-    ipow = cplx.ipow(np.abs(mo)[:, None] - np.abs(mi)[None, :] + np.abs(mu))
-    gathered = cplx.take(tab, jnp.asarray(np.abs(mu)), axis=-1)  # [..., Ho, Hi]
-    phase = cplx.expi(theta[..., None, None] * jnp.asarray(mu, dtype=theta.dtype))
+    rdt = _real_dtype_of(theta, tab)
+    # [Ho, Hi] tables built ON DEVICE from barriered [H] order vectors:
+    # host-numpy versions lower as O(H^2) HLO literals, which at
+    # n_end >= ~2.4k (H ~ 4.9k: >90 MB per table) blow past the remote
+    # compiler's request-size limit (HTTP 413) and the constant folder.
+    mo_d, mi_d = jax.lax.optimization_barrier(
+        (jnp.asarray(mo, jnp.int32), jnp.asarray(mi, jnp.int32))
+    )
+    mu = mi_d[None, :] - mo_d[:, None]  # [Ho, Hi], in - out
+    mu_abs = jnp.abs(mu)
+    ipow = cplx.ipow_device(
+        jnp.abs(mo_d)[:, None] - jnp.abs(mi_d)[None, :] + mu_abs, rdt
+    )
+    gathered = cplx.take(tab, mu_abs, axis=-1)  # [..., Ho, Hi]
+    phase = cplx.expi(theta[..., None, None] * mu.astype(rdt))
     return gathered * ipow * phase
 
 

@@ -56,20 +56,26 @@ def graf_2d_scaled(c, t_sph, n_out, k, kind="SR"):
     if kind != "SR":
         raise ValueError("scaled translation is (S|R)-only (RR is bounded)")
     mo = _a_node_m(c, n_out)
-    mi = mo  # scaled path is square (n_in == n_out)
-    mu = mi[None, :] - mo[:, None]
-    mu_max = int(np.abs(mu).max())
+    mu_max = 2 * int(np.abs(mo).max())  # scaled path is square (mi == mo)
     r_t = t_sph["r"]
     theta = t_sph[c.root.nid]
     z = C.of(k) * r_t if isinstance(k, C) else jnp.asarray(k) * r_t
     (jm, je), _, (hm, he), _ = spherical_jh_scaled(2, mu_max + 1, z)
     mant_tab, e_tab = (hm, he) if kind == "SR" else (jm, je)
     mant_tab = mant_tab * np.sqrt(2.0 / np.pi)
-    idx = jnp.asarray(np.abs(mu))
+    rdt = jnp.result_type(theta.dtype, jnp.float32)
+    # [H, H] tables on device from a barriered [H] order vector: host
+    # numpy versions lower as O(H^2) HLO literals, blowing the remote
+    # compiler's request-size limit at n_end >= ~2.4k (see _ops._graf_2d)
+    mo_d = jax.lax.optimization_barrier(jnp.asarray(mo, jnp.int32))
+    mu = mo_d[None, :] - mo_d[:, None]
+    idx = jnp.abs(mu)
     gathered = cplx.take(mant_tab, idx, axis=-1)
     s_mat = jnp.take(e_tab, idx, axis=-1)
-    ipow = cplx.ipow(np.abs(mo)[:, None] - np.abs(mi)[None, :] + np.abs(mu))
-    phase = cplx.expi(theta[..., None, None] * jnp.asarray(mu, dtype=theta.dtype))
+    ipow = cplx.ipow_device(
+        jnp.abs(mo_d)[:, None] - jnp.abs(mo_d)[None, :] + idx, rdt
+    )
+    phase = cplx.expi(theta[..., None, None] * mu.astype(rdt))
     return gathered * ipow * phase, s_mat
 
 
