@@ -5,6 +5,17 @@ Two sweep modes, covering both CSV families the reference committed
   mode="k":       2 unit spheres at (0, +-2, 0, ...), k in 2^{0..K step 0.5}
   mode="n_balls": 2D lattice of (2 2^m)^2 spheres (reference cli._center),
                   k = 1
+
+In mode="k" the incident plane wave is built at FIXED wavenumber
+uin_k=1.0 while the solver's k is swept: the reference's accuracy
+command hardcodes `plane_wave(k=xp.asarray(1.0), ...)` (reference
+cli.py:238-243) and its committed accuracy_k_*.csv artifacts were
+generated that way — verified by reproducing the reference's converged
+k=16 value (1.0035487245+0.0910450191j) to 13 digits with uin_k=1 on
+the f64 CPU path (a sweep-k incident wave instead converges to
+-0.6392909+0.2608587j).  Physically this means the boundary data is a
+k=1 plane wave while the scattered field propagates at the swept k;
+reproducing the artifact requires matching the quirk.
 with n_end in unique(int(2^{0..N step 0.25})), NaN guards that raise, a
 CSV row appended per iteration (incremental checkpointing, SURVEY.md
 section 5), and per-iteration try/except-log-continue so OOM/overflow at
@@ -142,7 +153,7 @@ def run_accuracy(
         in_dtype = "float64" if jax.config.jax_enable_x64 else "float32"
         host_dev = f"{jax.devices()[0].platform}:{jax.devices()[0].id}"
 
-        def make_step(c, centers, n_end, direction):
+        def make_step(c, centers, n_end, direction, uin_k=None):
             """One jitted k -> (density, uscat(0)) program per shape.
 
             The k sweep reuses ONE compiled program for every k value at
@@ -167,7 +178,13 @@ def run_accuracy(
                 dir_b = np.broadcast_to(
                     dir_j.reshape((d,) + (1,) * k.ndim), (d,) + k.shape
                 )
-                uin, _ = plane_wave(k=k, direction=dir_b)
+                # mode="k" passes uin_k=1.0: the reference's sweep builds
+                # the incident wave at k=1 regardless of the solver's k
+                # (reference cli.py:238-243; see module docstring).
+                uin, _ = plane_wave(
+                    k=k if uin_k is None else jnp.full(k.shape, uin_k, k.dtype),
+                    direction=dir_b,
+                )
                 calc = biem(
                     c,
                     centers=np.broadcast_to(centers_j, k.shape + (nb, d)),
@@ -267,7 +284,7 @@ def run_accuracy(
                     desc=f"{btype} k-sweep",
                 ):
                     try:
-                        step = make_step(c, centers, n_end, direction)
+                        step = make_step(c, centers, n_end, direction, uin_k=1.0)
                     except Exception as e:  # pragma: no cover
                         log.warning("compile n_end=%d failed: %s", n_end, e)
                         continue

@@ -54,6 +54,7 @@ _SLOW_NODEID_PREFIXES = (
     "test_biem.py::test_golden_values[a-",
     "test_biem.py::test_lattice_64_sphere_converged_value",
     "test_biem.py::test_stable_f64_beyond_f64_overflow",
+    "test_biem.py::test_reference_accuracy_sweep_values[ba",
     "test_biem.py::test_fused_eval_matches_general",
     "test_special.py::test_complex_argument",
     "test_frontends.py::test_accuracy_sweep_and_heatmap",

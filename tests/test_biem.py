@@ -67,6 +67,42 @@ def test_golden_values(btype, n_end, ref, tol):
     assert abs(u0 - ref) < tol, f"{btype}: {u0} vs {ref}"
 
 
+ACCURACY_SWEEP_GOLDEN = [
+    # Converged rows from the reference's committed k-sweep artifacts.
+    # The reference sweep builds the incident plane wave at FIXED k=1
+    # while sweeping the solver's k (reference cli.py:238-243); these
+    # values are only reproduced under that config.
+    # (btype, k, n_end, reference uscat(0), tol)
+    ("a", 16.0, 32, 1.0035487245418335 + 0.09104501905173143j, 1e-10),
+    # accuracy_k_a.csv rows n_end 32..215 agree to ~1e-12
+    ("ba", 16.0, 38, 0.8383385497173603 + 0.14762772199014532j, 1e-9),
+    # accuracy_k_ba.csv rows n_end 36..39 agree to ~1e-11
+]
+
+
+@pytest.mark.parametrize("btype,k,n_end,ref,tol", ACCURACY_SWEEP_GOLDEN)
+def test_reference_accuracy_sweep_values(btype, k, n_end, ref, tol):
+    """Pin converged reference accuracy_k_*.csv rows (uin built at k=1)."""
+    c = create_from_branching_types(btype)
+    d = c.c_ndim
+    centers = np.zeros((2, d))
+    centers[0, 1] = 2.0
+    centers[1, 1] = -2.0
+    direction = np.zeros(d)
+    direction[0] = 1.0
+    uin, _ = plane_wave(k=jnp.asarray(1.0), direction=jnp.asarray(direction))
+    calc = biem(
+        c,
+        centers=jnp.asarray(centers),
+        radii=jnp.ones(2),
+        k=jnp.asarray(k),
+        n_end=n_end,
+        uin=uin,
+    )
+    u0 = complex(tonp(calc.uscat(jnp.zeros((d, 1)))).reshape(-1)[0])
+    assert abs(u0 - ref) < tol, f"{btype} k={k}: {u0} vs {ref}"
+
+
 def test_exact_truncated_system_n_end_1():
     """At n_end=1 (one harmonic per ball) the 2-ball 2D system is a 2x2
     linear system whose entries are analytic: diag = SD*H_0(k*rho),
