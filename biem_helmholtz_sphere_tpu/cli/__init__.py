@@ -36,7 +36,17 @@ def _platform_setup(args):
     if getattr(args, "device", None) == "cpu":
         jax.config.update("jax_platforms", "cpu")
     if getattr(args, "dtype", None) in ("float64", "f64"):
-        jax.config.update("jax_enable_x64", True)
+        if getattr(args, "device", None) == "tpu":
+            # complex128 is unsupported on this TPU generation; x64
+            # programs crash the remote compile helper (HTTP 500,
+            # "tpu_compile_helper subprocess exit code 1").  Downgrade
+            # loudly instead of failing every sweep row.
+            logging.getLogger(__name__).warning(
+                "float64 is not supported on TPU; using float32 "
+                "(pass --device cpu for the f64 path)"
+            )
+        else:
+            jax.config.update("jax_enable_x64", True)
     # persistent compilation cache: sweeps recompile per (n_end, B) shape
     cache = os.environ.get(
         "BHS_TPU_JAX_CACHE", os.path.expanduser("~/.cache/bhs_tpu_jax")
@@ -109,6 +119,14 @@ def main(argv=None):
         help="solve this many k-points per batched call (one compiled "
         "program, leading batch axis; raises peak memory by the factor)",
     )
+    ap.add_argument(
+        "--n-end-linear",
+        type=int,
+        default=0,
+        help="use a dense step-1 n_end grid 1..N instead of the log2 "
+        "grid (the reference's accuracy_k_ba.csv sweeps n_end=1..39 "
+        "densely)",
+    )
 
     pp = sub.add_parser("plot-accuracy", help="error heatmaps from accuracy CSVs")
     pp.add_argument("--out-dir", default="accuracy")
@@ -168,6 +186,7 @@ def main(argv=None):
             k_block=args.k_block,
             k_min_log2=args.k_min_log2,
             n_end_min_log2=args.n_end_min_log2,
+            n_end_linear=args.n_end_linear,
         )
     elif args.cmd == "plot-accuracy":
         from ._accuracy import plot_accuracy

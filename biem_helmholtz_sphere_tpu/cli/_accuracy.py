@@ -137,6 +137,7 @@ def run_accuracy(
     k_min_log2=0.0,
     n_end_min_log2=0.0,
     n_balls_min_log4=0,
+    n_end_linear=0,
 ):
     import jax.numpy as jnp
 
@@ -204,28 +205,40 @@ def run_accuracy(
             row per k.  Per-row wall time is the block time / block size.
             """
             t0 = time.perf_counter()
-            try:
-                if len(ks) == 1:
-                    dens_c, u0c = step(jnp.asarray(float(ks[0])))
-                else:
-                    dens_c, u0c = step(jnp.asarray(np.asarray(ks, np.float64)))
-                prov = provenance(dens_c, u0c)
-                dens = to_numpy(dens_c)
-                u0s = to_numpy(u0c).reshape(len(ks), -1)[:, 0] if len(
-                    ks
-                ) > 1 else to_numpy(u0c).reshape(1, -1)[:, 0]
-                per_k = round((time.perf_counter() - t0) / len(ks), 4)
-            except Exception as e:
-                for k in ks:
-                    log.warning(
-                        "accuracy %s B=%d k=%g n_end=%d failed: %s",
-                        btype,
-                        n_balls,
-                        k,
-                        n_end,
-                        e,
-                    )
-                return
+            # One retry after a short pause: the remote TPU compile
+            # service can 500 transiently (observed: "tpu_compile_helper
+            # subprocess exit code 1" for ~minutes after an aborted
+            # compile), and a sweep must not silently drop rows for it.
+            for attempt in (0, 1):
+                try:
+                    if len(ks) == 1:
+                        dens_c, u0c = step(jnp.asarray(float(ks[0])))
+                    else:
+                        dens_c, u0c = step(
+                            jnp.asarray(np.asarray(ks, np.float64))
+                        )
+                    prov = provenance(dens_c, u0c)
+                    dens = to_numpy(dens_c)
+                    u0s = to_numpy(u0c).reshape(len(ks), -1)[:, 0] if len(
+                        ks
+                    ) > 1 else to_numpy(u0c).reshape(1, -1)[:, 0]
+                    per_k = round((time.perf_counter() - t0) / len(ks), 4)
+                    break
+                except Exception as e:
+                    for k in ks:
+                        log.warning(
+                            "accuracy %s B=%d k=%g n_end=%d failed"
+                            " (attempt %d): %s",
+                            btype,
+                            n_balls,
+                            k,
+                            n_end,
+                            attempt,
+                            e,
+                        )
+                    if attempt:
+                        return
+                    time.sleep(20.0)
             dens = dens.reshape(len(ks), -1)
             for i, k in enumerate(ks):
                 try:
@@ -279,10 +292,15 @@ def run_accuracy(
                     2.0**e
                     for e in np.arange(k_min_log2, k_max_log2 + 1e-9, 0.5)
                 ]
-                for n_end in tqdm(
-                    _n_end_grid(n_end_max_log2, n_end_min_log2),
-                    desc=f"{btype} k-sweep",
-                ):
+                # the reference's ba artifact sweeps n_end densely
+                # (accuracy_k_ba.csv: 1..39 step 1); its a artifact uses
+                # the log2 grid (accuracy_k_a.csv)
+                n_end_vals = (
+                    list(range(1, n_end_linear + 1))
+                    if n_end_linear
+                    else _n_end_grid(n_end_max_log2, n_end_min_log2)
+                )
+                for n_end in tqdm(n_end_vals, desc=f"{btype} k-sweep"):
                     try:
                         step = make_step(c, centers, n_end, direction, uin_k=1.0)
                     except Exception as e:  # pragma: no cover
