@@ -348,6 +348,20 @@ def plot_accuracy(out_dir):
         raise FileNotFoundError(f"no accuracy CSVs in {out_dir}")
     df = pd.concat(frames, ignore_index=True)
     df["uscat"] = df["uscat_real"] + 1j * df["uscat_imag"]
+    # where the same sweep point exists at several precisions (the TPU
+    # float32 bulk sweep overlaps the CPU float64 extreme-corner rows),
+    # keep the highest-precision row
+    if "dtype" in df.columns:
+        rank = df["dtype"].map({"float64": 0, "float32": 1}).fillna(2)
+        df = (
+            df.assign(_rank=rank)
+            .sort_values("_rank")
+            .drop_duplicates(
+                subset=["branching_types", "mode", "n_balls", "k", "n_end"],
+                keep="first",
+            )
+            .drop(columns="_rank")
+        )
     out = []
     for (btype, mode), grp in df.groupby(["branching_types", "mode"]):
         key = "k" if mode == "k" else "n_balls"

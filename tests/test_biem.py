@@ -103,6 +103,47 @@ def test_reference_accuracy_sweep_values(btype, k, n_end, ref, tol):
     assert abs(u0 - ref) < tol, f"{btype} k={k}: {u0} vs {ref}"
 
 
+# The reference's extreme-corner rows (accuracy_k_a.csv, all rows with
+# n_end >= 2048 — its largest committed systems, up to n_end=3444 at
+# k=2896.3).  tools/corner_f64.py regenerates these on the CPU f64 path;
+# the committed accuracy/accuracy_corner_f64.csv matches each to <=2e-9.
+REFERENCE_CORNER_ROWS = {
+    (1448.1546878700494, 2048): 0.973256909956196 - 0.04091440033125521j,
+    (2048.0, 2048): -1.0126795465820553 + 0.11489045399618833j,
+    (2048.0, 2435): -1.0090569984204287 + 0.11768294759603562j,
+    (2048.0, 2896): -1.0090569984211528 + 0.1176829475958682j,
+    (2896.309375740099, 2048): -1.0065483166971274 + 0.09072245939166873j,
+    (2896.309375740099, 2435): -0.993290127584141 + 0.08109394100204778j,
+    (2896.309375740099, 2896): -0.9865468923235745 + 0.09106819808258138j,
+    (2896.309375740099, 3444): -0.9908112211317346 + 0.08485239867101844j,
+}
+
+
+def test_corner_artifact_matches_reference():
+    """The committed extreme-corner artifact rows reproduce the
+    reference's committed values (data parity, no solve)."""
+    import csv
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "accuracy", "accuracy_corner_f64.csv"
+    )
+    if not os.path.exists(path):
+        pytest.skip("corner artifact not generated yet")
+    with open(path, newline="") as f:
+        rows = list(csv.DictReader(f))
+    seen = {}
+    for r in rows:
+        seen[(float(r["k"]), int(r["n_end"]))] = complex(
+            float(r["uscat_real"]), float(r["uscat_imag"])
+        )
+    missing = set(REFERENCE_CORNER_ROWS) - set(seen)
+    assert not missing, f"corner rows missing: {sorted(missing)}"
+    for key, ref in REFERENCE_CORNER_ROWS.items():
+        got = seen[key]
+        assert abs(got - ref) < 1e-7, f"{key}: {got} vs {ref}"
+
+
 def test_exact_truncated_system_n_end_1():
     """At n_end=1 (one harmonic per ball) the 2-ball 2D system is a 2x2
     linear system whose entries are analytic: diag = SD*H_0(k*rho),
