@@ -55,7 +55,10 @@ SWEEP_N = 100  # k-points in the blocked sweep (the headline)
 KB = 2  # k-block size: GMRES holds ~3 KB-sized [KB,16384,16384] f32 temps
 # (re, im, one transposed-layout copy); KB=4 exceeds the 15.75G v5e HBM.
 EVAL_POINTS = 1 << 17
-EVAL_CHUNK = 2048
+# MEASURED (tools/eval_unroll_probe.py round 3): with the fully-unrolled
+# degree-major fused eval, larger chunks win (1.35e6 pts/s at 16384 vs
+# 1.07e6 at 2048 — fewer lax.map trips amortize per-chunk overhead).
+EVAL_CHUNK = 16384
 
 # Conservative extrapolation of the measured NumPy baseline to n_end=32
 # (BENCH_NOTES.md): translation 632.7 s x (32/20)^3.45 + solve 47 s x

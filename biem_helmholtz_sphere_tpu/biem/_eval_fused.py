@@ -167,11 +167,16 @@ def fused_ba_dot(c, n_end, w, theta, phi, rad=None):
         acc = acc + contrib
         return (pn, pp, acc), None
 
-    # MEASURED (tools/eval_unroll_probe.py, v5e, B=16 n_end=32): scan
-    # unrolling only hurt the j-major gathering body (9.7e5 pts/s at
-    # unroll=1 vs 5.7e5 at 8); re-measure if the elementwise body shifts
-    # the balance.
-    unroll = _UNROLL_OVERRIDE or 1
+    # MEASURED (tools/eval_unroll_probe.py, v5e, B=16 n_end=32, best-of-5
+    # round 3): the degree-major elementwise body DOES benefit from
+    # unrolling — full unroll keeps the [pts, B, M] carry in
+    # registers/VMEM across steps instead of round-tripping HBM:
+    #   chunk 2048:  unroll 1 7.2e5 | 4 8.5e5 | 8 7.2e5 | 32 1.07e6 pts/s
+    #   chunk 16384: unroll 1 2.4e5 | 4 4.6e5 | 8 5.4e5 | 32 1.35e6 pts/s
+    # (the OLD j-major gathering body inverted this: 9.7e5 at 1, 5.7e5
+    # at 8 — its per-step gathers defeated carry elision).  Cap at 64
+    # steps to bound program size at large n_end.
+    unroll = _UNROLL_OVERRIDE or min(n, 64)
     (_, _, acc), _ = jax.lax.scan(step, (pm0, pn0, acc0), xs, unroll=unroll)
 
     st = jnp.sin(theta).astype(rdt)

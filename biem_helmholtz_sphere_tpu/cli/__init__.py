@@ -36,7 +36,11 @@ def _platform_setup(args):
     if getattr(args, "device", None) == "cpu":
         jax.config.update("jax_platforms", "cpu")
     if getattr(args, "dtype", None) in ("float64", "f64"):
-        if getattr(args, "device", None) == "tpu":
+        # Resolve the actual backend: --device defaults to None, and on a
+        # TPU host x64 would crash the remote compile helper even when
+        # --device tpu was never passed explicitly (ADVICE r2).
+        backend = getattr(args, "device", None) or jax.default_backend()
+        if backend == "tpu":
             # complex128 is unsupported on this TPU generation; x64
             # programs crash the remote compile helper (HTTP 500,
             # "tpu_compile_helper subprocess exit code 1").  Downgrade

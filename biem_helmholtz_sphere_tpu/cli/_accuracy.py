@@ -204,12 +204,14 @@ def run_accuracy(
             GMRES iterates each system independently) and write one CSV
             row per k.  Per-row wall time is the block time / block size.
             """
-            t0 = time.perf_counter()
             # One retry after a short pause: the remote TPU compile
             # service can 500 transiently (observed: "tpu_compile_helper
             # subprocess exit code 1" for ~minutes after an aborted
             # compile), and a sweep must not silently drop rows for it.
             for attempt in (0, 1):
+                # per-attempt clock: a failed attempt + the retry pause
+                # must not inflate the CSV seconds column (ADVICE r2)
+                t0 = time.perf_counter()
                 try:
                     if len(ks) == 1:
                         dens_c, u0c = step(jnp.asarray(float(ks[0])))
@@ -355,10 +357,15 @@ def plot_accuracy(out_dir):
         rank = df["dtype"].map({"float64": 0, "float32": 1}).fillna(2)
         df = (
             df.assign(_rank=rank)
-            .sort_values("_rank")
+            # descending rank + stable sort puts the highest-precision
+            # rows last in file/row order, so keep="last" selects the
+            # LATEST highest-precision row deterministically — a re-run
+            # sweep row supersedes older rows of the same precision
+            # (ADVICE r2: default quicksort made the survivor arbitrary)
+            .sort_values("_rank", ascending=False, kind="stable")
             .drop_duplicates(
                 subset=["branching_types", "mode", "n_balls", "k", "n_end"],
-                keep="first",
+                keep="last",
             )
             .drop(columns="_rank")
         )

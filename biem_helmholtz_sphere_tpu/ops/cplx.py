@@ -24,6 +24,7 @@ This replaces the complex-dtype usage of the reference's NumPy/Torch
 backends (SURVEY.md section 2.4 item 4) with a TPU-first representation.
 """
 
+import os
 from dataclasses import dataclass
 from typing import Any
 
@@ -460,6 +461,13 @@ def gmres_solve_op(mv, diag, b, tol=None, restart=None, maxiter=20):
         # relative residual at bench scale (BENCH_NOTES.md); 3e-5 sits
         # well under the f32 matmul-precision BC-residual floor (~8e-5).
         tol = 3e-5 if f32 else 1e-11
+        # Artifact-regeneration override: reference-parity CSV rows need
+        # ~11 converged digits (tol 1e-13 f64), which is wasteful for
+        # ordinary solves.  Read at trace time only when tol was not
+        # passed explicitly.
+        env = os.environ.get("BHS_GMRES_TOL_F32" if f32 else "BHS_GMRES_TOL")
+        if env:
+            tol = float(env)
     m = restart if restart is not None else (48 if f32 else 192)
     m = max(1, min(m, b.shape[-1]))  # Krylov dimension caps at n
     return _gmres_cgs2(mv, C.of(diag), b, tol, m, maxiter)

@@ -39,8 +39,16 @@ from biem_helmholtz_sphere_tpu.coords import (  # noqa: E402
 from biem_helmholtz_sphere_tpu.ops.cplx import to_numpy  # noqa: E402
 
 # The reference's committed corner rows (accuracy_k_a.csv, n_end >= 2048),
-# ordered by system size (n_end) then k.
+# ordered by system size (n_end) then k; plus the n_end=1448 band at
+# k >= 724 (the last six cells the bulk TPU sweep did not cover —
+# round-3 cell-coverage audit, tests/test_frontends.py).
 PAIRS = [
+    (724.0773439350247, 1448),
+    (1024.0, 1448),
+    (1448.1546878700494, 1448),
+    (2048.0, 1448),
+    (2896.309375740099, 1448),
+    (4096.0, 1448),
     (1448.1546878700494, 2048),
     (2048.0, 2048),
     (2896.309375740099, 2048),
@@ -62,11 +70,19 @@ def main():
     out_dir = os.path.join(os.path.dirname(__file__), "..", "accuracy")
     path = os.path.join(out_dir, "accuracy_corner_f64.csv")
     done = set()
-    if os.path.exists(path):
+    # A zero-byte file left by a crashed prior run must be treated as new,
+    # or rows get appended with no header (ADVICE r2).
+    new = not os.path.exists(path) or os.path.getsize(path) == 0
+    if not new:
         with open(path, newline="") as f:
-            for row in list(csv.DictReader(f)):
+            rd = csv.DictReader(f)
+            if rd.fieldnames != _HEADER:
+                raise SystemExit(
+                    f"{path} has a different schema than _HEADER; "
+                    "move it aside before appending"
+                )
+            for row in list(rd):
                 done.add((float(row["k"]), int(row["n_end"])))
-    new = not os.path.exists(path)
     with open(path, "a", newline="") as fh:
         wr = csv.writer(fh)
         if new:

@@ -52,9 +52,12 @@ for chunk, unroll in cases:
 
         ej = jax.jit(eval_chunked)
         ej(calc, x).block_until_ready()
-        t0 = time.perf_counter()
-        ej(calc, x).block_until_ready()
-        dt = time.perf_counter() - t0
+        # best-of-5: single-shot swings 2x run-to-run on the axon tunnel
+        dt = np.inf
+        for _ in range(5):
+            t0 = time.perf_counter()
+            ej(calc, x).block_until_ready()
+            dt = min(dt, time.perf_counter() - t0)
         print(
             f"chunk={chunk:6d} unroll={unroll:3d}: "
             f"{EVAL_POINTS / dt:.3e} pts/s ({dt * 1e3:.1f} ms)",
