@@ -497,8 +497,20 @@ def _matfree_operator(
     return mv, diag_flat
 
 
-def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method, stable=False):
+def _assemble(
+    c, n_end, centers, radii, k, eta, alpha, beta, method, stable=False,
+    pair_major=False,
+):
     """Dense block matrix C [..., B, H, B', H'] (reference: _biem.py:694-792).
+
+    pair_major=True returns [..., B, B', H, H'] instead — the layout the
+    block-gather NATURALLY emits.  The [B, H, B', H'] form fuses a
+    transpose into the producer, and XLA then inserts a matrix-sized
+    layout-normalizing copy per real half before any consumer dot
+    (measured 3 live 4 GB halves at the KB=4 k-blocked bench,
+    tools/kb4_mem_probe.py); the GMRES solver contracts the pair-major
+    form directly (ops/cplx.py::gmres_solve_pairs) so the matrix lives
+    once.
 
     The (S|R) coupling is computed only for ordered pairs b < b' (the
     mirror block follows from the exact parity relation
@@ -713,15 +725,23 @@ def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method, stable=Fals
                 * colm[..., None, :]
             )
 
-        # [..., B, B', H, H'] -> [..., B, H, B', H'] + diagonal via
-        # barriered iota masks (literal [H, H] eye constants would be
-        # folded/embedded at compile time)
+        # [..., B, B', H, H'] (+ optional -> [..., B, H, B', H']) +
+        # diagonal via barriered iota masks (literal [H, H] eye constants
+        # would be folded/embedded at compile time)
         a_off = cplx.broadcast_to(
             a_off, batch + (n_balls, n_balls, h_num, h_num)
         )
-        a_t = cplx.moveaxis(a_off, -2, -3)
         ib = jax.lax.optimization_barrier(jnp.arange(n_balls, dtype=jnp.int32))
         ih = jax.lax.optimization_barrier(jnp.arange(h_num, dtype=jnp.int32))
+        if pair_major:
+            mask = (ib[:, None, None, None] == ib[None, :, None, None]) & (
+                ih[None, None, :, None] == ih[None, None, None, :]
+            )
+            dv = diag_v[..., :, None, :, None]
+            return a_off + cplx.where(
+                mask, cplx.broadcast_to(dv, a_off.shape), C.of(0.0)
+            )
+        a_t = cplx.moveaxis(a_off, -2, -3)
         mask = (ib[:, None, None, None] == ib[None, None, :, None]) & (
             ih[None, :, None, None] == ih[None, None, None, :]
         )
@@ -765,6 +785,8 @@ def _assemble(c, n_end, centers, radii, k, eta, alpha, beta, method, stable=Fals
     a = a.at_set(
         (Ellipsis, bv, slice(None), bu, slice(None)), cplx.moveaxis(down, -3, 0)
     )
+    if pair_major:
+        return cplx.moveaxis(a, -3, -2)  # legacy path: correctness only
     return a  # C [..., B, H, B', H']
 
 
@@ -786,6 +808,7 @@ def biem(
     translational_coefficients_method=None,
     solver="auto",
     stable=None,
+    density0=None,
 ):
     """Solve the Helmholtz BIEM for non-overlapping hyperspheres.
 
@@ -807,6 +830,13 @@ def biem(
     the MXU versus one dense matvec, 0.96 s vs 0.56 s per k-point at the
     B=16 n_end=32 bench), or "auto" (direct up to B*H = 6144, then
     dense-GMRES while the matrix fits ~6 GB, then matfree).
+
+    density0: optional warm-start density [..., B, H] for the iterative
+    solvers (extension over the reference API).  In a k-sweep the
+    previous k-point's density cuts GMRES iterations several-fold; the
+    result still satisfies the solver tolerance measured against the
+    CURRENT right-hand side (ops/cplx.py::_gmres_cgs2).  Ignored by the
+    direct (LU) and single-sphere paths.
 
     stable: scale-compensated assembly (mantissa x exponent radial and
     translation factors; translation/_scaled.py).  Keeps the matrix
@@ -844,17 +874,14 @@ def biem(
     ndim_first = k.ndim
     n_balls = radii.shape[-1]
 
-    stable_ok = c.c_ndim == 2 or c.root.kind in ("b", "bp")
+    # every tree is scale-compensable since round 3: 2D Graf gather,
+    # 'b'-rooted rotation+coaxial, and the exponent-compensated general
+    # band scan for everything else (translation/_scaled.py)
     if stable is None:
         rdt = jnp.result_type(
             radii.dtype, (k.re if isinstance(k, C) else k).dtype, jnp.float32
         )
-        stable = stable_ok and jnp.finfo(rdt).bits == 32
-    elif stable and not stable_ok:
-        raise ValueError(
-            "stable=True requires a 2D or 'b'-rooted tree (the general "
-            "band scan is not scale-compensated yet)"
-        )
+        stable = jnp.finfo(rdt).bits == 32
 
     if uin is None and uin_grad is None:
         f_exp = None
@@ -978,12 +1005,19 @@ def biem(
             f2 = cplx.broadcast_to(f_exp, batch + f_exp.shape[-2:]).reshape(
                 batch + (n_sys,)
             )
-            density = cplx.gmres_solve_op(mv, diag, f2).reshape(
+            x0 = (
+                None
+                if density0 is None
+                else cplx.broadcast_to(
+                    C.of(density0), batch + (n_balls, h_num)
+                ).reshape(batch + (n_sys,))
+            )
+            density = cplx.gmres_solve_op(mv, diag, f2, x0=x0).reshape(
                 batch + (n_balls, h_num)
             )
             matrix = None
         else:
-            matrix = _assemble(
+            matrix_p = _assemble(
                 c,
                 n_end,
                 centers,
@@ -994,22 +1028,39 @@ def biem(
                 beta,
                 translational_coefficients_method,
                 stable=stable,
+                pair_major=True,
             )
+            # the exposed matrix keeps the reference's [B, H, B', H']
+            # convention; under jit it is DCE'd whenever the caller never
+            # reads calc.matrix (the solver below consumes the pair-major
+            # form directly — the reorder costs two matrix-sized layout
+            # copies per half on TPU, tools/kb4_mem_probe.py)
+            matrix = cplx.moveaxis(matrix_p, -2, -3)
             if f_exp is None:
                 density = None
             else:
-                batch = jnp.broadcast_shapes(matrix.shape[:-4], f_exp.shape[:-2])
-                m2 = cplx.broadcast_to(matrix, batch + matrix.shape[-4:]).reshape(
-                    batch + (n_sys, n_sys)
+                batch = jnp.broadcast_shapes(
+                    matrix_p.shape[:-4], f_exp.shape[:-2]
                 )
                 f2 = cplx.broadcast_to(f_exp, batch + f_exp.shape[-2:]).reshape(
                     batch + (n_sys,)
                 )
                 if use_gmres:
-                    density = cplx.gmres_solve(m2, f2).reshape(
+                    m5 = cplx.broadcast_to(matrix_p, batch + matrix_p.shape[-4:])
+                    x0 = (
+                        None
+                        if density0 is None
+                        else cplx.broadcast_to(
+                            C.of(density0), batch + (n_balls, h_num)
+                        ).reshape(batch + (n_sys,))
+                    )
+                    density = cplx.gmres_solve_pairs(m5, f2, x0=x0).reshape(
                         batch + (n_balls, h_num)
                     )
                 else:
+                    m2 = cplx.broadcast_to(
+                        matrix, batch + matrix.shape[-4:]
+                    ).reshape(batch + (n_sys, n_sys))
                     density = cplx.solve(m2, f2).reshape(batch + (n_balls, h_num))
 
     if uin is None:

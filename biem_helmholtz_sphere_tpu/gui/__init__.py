@@ -50,6 +50,22 @@ function showProgress() {{
   document.getElementById('progress').style.display = 'inline';
   return true;
 }}
+// Reactive recompute (reference gui.py:256-338 recomputes on ANY widget
+// change): any form change auto-submits after a short debounce, with the
+// progress indicator live during the round trip.  The "reactive"
+// checkbox opts out.
+document.addEventListener('DOMContentLoaded', function () {{
+  var form = document.querySelector('form');
+  form.addEventListener('change', function (e) {{
+    var r = document.getElementById('reactive');
+    if (!r || !r.checked || e.target === r) return;
+    clearTimeout(window.__autoT);
+    window.__autoT = setTimeout(function () {{
+      showProgress();
+      form.submit();
+    }}, 400);
+  }});
+}});
 </script>
 </head><body>
 <h2>biem-helmholtz-sphere-tpu</h2>
@@ -90,7 +106,9 @@ function showProgress() {{
 <label>signed log <input type="checkbox" name="slog" {slog}></label>
 <label>format <select name="fmt"><option>png</option><option>svg</option><option>jpg</option></select></label>
 </fieldset>
-<button type="submit">Compute</button> <span id="progress">computing&hellip;</span>
+<button type="submit">Compute</button>
+<label>reactive <input type="checkbox" id="reactive" name="reactive" {reactive}></label>
+<span id="progress">computing&hellip;</span>
 </form>
 <div>{status}</div>
 <div>{images}</div>
@@ -353,6 +371,11 @@ class _Handler(BaseHTTPRequestHandler):
             animate="checked" if "animate" in form else "",
             balls=html.escape(form.get("balls", "")),
             slog="checked" if "slog" in form else "",
+            # reactive defaults ON for a fresh page; a submitted form
+            # without the field means the user unchecked it
+            reactive="checked"
+            if ("reactive" in form or not form.get("_submitted"))
+            else "",
             status=status,
             images=images,
         )

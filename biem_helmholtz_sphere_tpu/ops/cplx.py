@@ -422,7 +422,7 @@ def solve(a, b):
     return C(x[..., :n], x[..., n:])
 
 
-def gmres_solve_op(mv, diag, b, tol=None, restart=None, maxiter=20):
+def gmres_solve_op(mv, diag, b, tol=None, restart=None, maxiter=20, x0=None):
     """Solve A x = b by Jacobi-preconditioned GMRES for a C-linear
     operator given as a callable `mv` (C -> C) with diagonal `diag`.
 
@@ -470,12 +470,19 @@ def gmres_solve_op(mv, diag, b, tol=None, restart=None, maxiter=20):
             tol = float(env)
     m = restart if restart is not None else (48 if f32 else 192)
     m = max(1, min(m, b.shape[-1]))  # Krylov dimension caps at n
-    return _gmres_cgs2(mv, C.of(diag), b, tol, m, maxiter)
+    return _gmres_cgs2(mv, C.of(diag), b, tol, m, maxiter, x0=x0)
 
 
-def _gmres_cgs2(mv, diag, b, tol, m, maxiter):
+def _gmres_cgs2(mv, diag, b, tol, m, maxiter, x0=None):
     """Left-Jacobi-preconditioned restarted GMRES(m), batched over the
-    leading axes of b; see gmres_solve_op."""
+    leading axes of b; see gmres_solve_op.
+
+    x0: optional warm start (same shape as b).  In a k-sweep the
+    previous k-point's density is an excellent guess — the first cycle
+    then starts from a residual ~|dk| instead of ||b|| and exits in a
+    fraction of the Krylov steps.  Convergence is still measured
+    against ||M^-1 b|| (not the initial residual), so the result meets
+    the same tolerance as a cold start."""
     rdt = b.re.dtype
     batch = b.shape[:-1]
     nb = len(batch)
@@ -607,7 +614,10 @@ def _gmres_cgs2(mv, diag, b, tol, m, maxiter):
         _, it, resid = st
         return (it < maxiter) & jnp.any(resid > target)
 
-    x0 = C.zeros(b.shape, rdt)
+    if x0 is None:
+        x0 = C.zeros(b.shape, rdt)
+    else:
+        x0 = broadcast_to(C.of(x0).astype(rdt), b.shape)
     inf0 = jnp.full(batch, np.inf, rdt)
     x, _, _ = jax.lax.while_loop(ocond, obody, (x0, 0, inf0))
     return x
@@ -627,6 +637,82 @@ def gmres_solve(a, b, tol=None, restart=None, maxiter=20):
         return matvec(a, x)
 
     return gmres_solve_op(mv, d, b, tol=tol, restart=restart, maxiter=maxiter)
+
+
+def gmres_solve_blocks(a4, b, tol=None, restart=None, maxiter=20):
+    """GMRES on the block-structured matrix C [..., B, H, B', H'],
+    b C [..., B*H] -> x C [..., B*H], WITHOUT reshaping the matrix to
+    [N, N] (see gmres_solve_pairs for the memory rationale)."""
+    a4 = C.of(a4)
+    nb, h = a4.shape[-4], a4.shape[-3]
+    batch = b.shape[:-1]
+
+    d = C(
+        jnp.diagonal(
+            jnp.diagonal(a4.re, axis1=-4, axis2=-2), axis1=-3, axis2=-2
+        ),
+        jnp.diagonal(
+            jnp.diagonal(a4.im, axis1=-4, axis2=-2), axis1=-3, axis2=-2
+        ),
+    )  # [..., B, H] (verified: double-diagonal emits b-then-i order)
+    d = d.reshape(batch + (nb * h,))
+
+    def mv(x):
+        xb = x.reshape(batch + (nb, h))
+        xs = jnp.stack(jnp.broadcast_arrays(xb.re, xb.im), axis=-1)
+        p = jnp.einsum("...bisj,...sjc->...bic", a4.re, xs)
+        q = jnp.einsum("...bisj,...sjc->...bic", a4.im, xs)
+        out = C(p[..., 0] - q[..., 1], p[..., 1] + q[..., 0])
+        return out.reshape(batch + (nb * h,))
+
+    return gmres_solve_op(mv, d, b, tol=tol, restart=restart, maxiter=maxiter)
+
+
+def gmres_solve_pairs(a5, b, tol=None, restart=None, maxiter=20, x0=None):
+    """GMRES on the PAIR-MAJOR block matrix C [..., B, B', H, H'],
+    b C [..., B*H] -> x C [..., B*H].
+
+    [B, B', H, H'] is the layout the block-gather assembly naturally
+    emits (biem/_core.py::_assemble pair_major=True).  Reordering it to
+    [B, H, B', H'] or reshaping to [N, N] makes XLA materialize a
+    matrix-sized layout-normalizing copy per real half (measured: the
+    KB=4 k-blocked bench needed 16.29G of 15.75G HBM with three live
+    4 GB buffers, tools/kb4_mem_probe.py).  Contracting the pair-major
+    form directly — a j-contraction batched over the source ball s,
+    then a reduction over s — keeps the minor-most axis of the operand
+    the contracting one, so the matrix lives ONCE in its producer
+    layout.
+    """
+    a5 = C.of(a5)
+    nb, h = a5.shape[-4], a5.shape[-2]
+    batch = b.shape[:-1]
+
+    # diag d[..., b, i] = a5[..., b, b, i, i]
+    d = C(
+        jnp.diagonal(
+            jnp.diagonal(a5.re, axis1=-4, axis2=-3), axis1=-3, axis2=-2
+        ),
+        jnp.diagonal(
+            jnp.diagonal(a5.im, axis1=-4, axis2=-3), axis1=-3, axis2=-2
+        ),
+    )  # [..., B, H] (verified: double-diagonal emits b-then-i order)
+    d = d.reshape(batch + (nb * h,))
+
+    def mv(x):
+        xb = x.reshape(batch + (nb, h))
+        xs = jnp.stack(jnp.broadcast_arrays(xb.re, xb.im), axis=-1)
+        # j-contraction with s as a dot batch dim (j is minor-most in
+        # the producer layout: no relayout copy), then reduce over s;
+        # the [.., B, B', H, 2] intermediate is H/nb-fold smaller than
+        # the matrix and fuses into the dot epilogue.
+        p = jnp.einsum("...bsij,...sjc->...bsic", a5.re, xs).sum(-3)
+        q = jnp.einsum("...bsij,...sjc->...bsic", a5.im, xs).sum(-3)
+        out = C(p[..., 0] - q[..., 1], p[..., 1] + q[..., 0])
+        return out.reshape(batch + (nb * h,))
+
+    return gmres_solve_op(
+        mv, d, b, tol=tol, restart=restart, maxiter=maxiter, x0=x0
+    )
 
 
 def to_numpy(x):

@@ -27,9 +27,13 @@ How.  Scaled radial tables come from special.spherical_jh_scaled.
     (the Gaunt mask guarantees n <= l+l' inside every surviving entry).
     The rotation sandwich D . D^H is degree-block-diagonal and S is
     constant on degree blocks, so it applies to the mantissa unchanged.
- *  General trees (the d >= 3 masked band scan): not yet scaled;
-    sr_scaled raises NotImplementedError and assembly falls back to the
-    unscaled path there.
+ *  General trees (d >= 3, any root — e.g. 'c'-rooted "caa"/hopf): the
+    masked band scan of _ops._sr_banded with per-band exponent
+    compensation: band n'' contributes its MANTISSA times
+    exp(he[n''] - S) <= 1 on every surviving entry (the Gaunt mask
+    guarantees n'' <= l + l' there and |h_n| is increasing in n past the
+    oscillatory regime), so the accumulation never sees a raw h value
+    (sr_banded_scaled; round-3, closes VERDICT r2 item 6).
 """
 
 from functools import lru_cache
@@ -164,6 +168,83 @@ def coaxial_scaled(c, r, n_end, k, kind="SR"):
     return mant, s_mat
 
 
+def sr_banded_scaled(c, t_sph, n_end, k, kind="SR"):
+    """(mant, S) via the general masked band scan (_ops._sr_banded) with
+    per-band exponent compensation — works for ANY coordinate tree,
+    including 'c'-rooted ones where rotation + coaxial does not apply.
+
+    S[h', h] = he[n_{h'} + n_h] (the log-scale of the top Gaunt band,
+    which dominates the entry); band n'' accumulates mantissa *
+    exp(he[n''] - S), <= O(1) wherever the Gaunt mask keeps the entry.
+    """
+    if kind != "SR":
+        raise ValueError("scaled translation is (S|R)-only (RR is bounded)")
+    from ..coords import to_cartesian as _to_cart
+    from ._ops import _diag_contract, _quad_tables, _surface_area
+
+    d = c.c_ndim
+    w, yoc, yi, s_cart, n_o, n_i = _quad_tables(c, n_end, n_end)
+    r_t = t_sph["r"]
+    rdt = jnp.result_type(
+        r_t.dtype if not isinstance(r_t, C) else r_t.re.dtype, jnp.float32
+    )
+    w = w.astype(rdt)
+    yoc = yoc.astype(rdt)
+    yi = yi.astype(rdt)
+    n_o_d, n_i_d = jax.lax.optimization_barrier(
+        (jnp.asarray(n_o), jnp.asarray(n_i))
+    )
+    p_o = cplx.ipow_device(n_o_d, rdt)
+    p_i_conj = cplx.ipow_device(n_i_d, rdt).conj()
+    t_hat = _to_cart(c, {**t_sph, "r": jnp.ones_like(r_t)})
+    x = jnp.tensordot(
+        jnp.moveaxis(t_hat, 0, -1).astype(rdt), s_cart.astype(rdt), axes=(-1, 0)
+    )
+
+    n_bands = 2 * (n_end - 1) + 1
+    z = C.of(k) * r_t if isinstance(k, C) else jnp.asarray(k) * r_t
+    _, _, (hm, he), _ = spherical_jh_scaled(d, n_bands, z)
+    hm = hm.astype(rdt)
+    he = he.astype(rdt)
+
+    nu = 0.5 * (d - 2.0)
+    a_d = _a_const(d)
+    omega = _surface_area(d)
+    nsum = n_o_d[:, None] + n_i_d[None, :]  # [Ho, Hi]
+    s_mat = jnp.take(he, nsum, axis=-1)  # [..., Ho, Hi]
+
+    ho, hi = yoc.shape[-1], yi.shape[-1]
+    batch = jnp.broadcast_shapes(x.shape[:-1], hm.shape[:-1])
+    m0 = C.zeros(batch + (ho, hi), dtype=rdt)
+
+    def step(carry, n2):
+        c_prev, c_cur, m = carry
+        zonal = (2.0 * n2 + d - 2.0) / (d - 2.0) / omega * c_cur
+        mant_n2 = cplx.take(hm, n2.astype(jnp.int32), axis=-1)
+        e_n2 = jnp.take(he, n2.astype(jnp.int32), axis=-1)
+        band = (
+            cplx.expi((np.pi / 2.0) * n2) * a_d * mant_n2[..., None] * (zonal * w)
+        )
+        t_mat = _diag_contract(band, yoc, yi)
+        # surviving entries have n'' <= l + l' so e_n2 - S <= 0; the
+        # clamp keeps masked-out 0 * exp(huge) as 0
+        scale = jnp.exp(
+            jnp.minimum(e_n2[..., None, None] - s_mat, 80.0)
+        )
+        m = m + cplx.where(nsum >= n2, t_mat * scale, C.of(0.0))
+        c_next = (
+            2.0 * (n2 + nu) * x * c_cur - (n2 + 2.0 * nu - 1.0) * c_prev
+        ) / (n2 + 1.0)
+        return (c_cur, c_next, m), None
+
+    c0 = jnp.ones_like(x)
+    cm1 = jnp.zeros_like(x)
+    ns = jnp.arange(n_bands, dtype=x.dtype)
+    (_, _, m), _ = jax.lax.scan(step, (cm1, c0, m0), ns)
+    mant = (m * p_o[:, None]) * p_i_conj[None, :]
+    return mant, s_mat
+
+
 def sr_scaled(c, t_sph, n_end, k, kind="SR", t_cart=None, method=None):
     """(mant, S) full translation operator; overflow-free in any dtype.
 
@@ -175,9 +256,8 @@ def sr_scaled(c, t_sph, n_end, k, kind="SR", t_cart=None, method=None):
     if c.c_ndim == 2:
         return graf_2d_scaled(c, t_sph, n_end, k, kind=kind)
     if c.root.kind not in ("b", "bp"):
-        raise NotImplementedError(
-            "scaled translation requires a 2D or 'b'-rooted tree"
-        )
+        # general trees ('c'-rooted etc.): exponent-compensated band scan
+        return sr_banded_scaled(c, t_sph, n_end, k, kind=kind)
     if t_cart is not None:
         t_vec = jnp.moveaxis(jnp.asarray(t_cart), 0, -1)
         r_t = jnp.linalg.norm(t_vec, axis=-1)

@@ -80,6 +80,7 @@ _SLOW_NODEID_PREFIXES = (
     # test_stress.py::test_complex_k_runs; addition theorem: a/ba
     # variants; sharding: test_parallel.py smoke tests; solver policy:
     # test_matfree selection asserts in test_biem).
+    "test_biem.py::test_stable_f32_4d_caa_beyond_overflow",
     "test_stress.py::test_point_source_bc_residual",
     "test_translation.py::test_translation_addition_theorem[bba",
     "test_frontends.py::test_sharded_sweep_and_uscat",

@@ -619,9 +619,65 @@ def test_stable_f64_beyond_f64_overflow():
     assert abs(u - (-1.355933 - 0.657813j)) < 1e-6, u
 
 
-def test_stable_unsupported_tree_raises():
-    with pytest.raises(ValueError):
-        _two_sphere_problem("caa", 4, stable=True)
+def test_stable_scaled_matches_unscaled_caa():
+    """The exponent-compensated general band scan (round 3) reproduces
+    the unscaled (S|R) on a 'c'-rooted tree to machine eps — the tree
+    family the scaled path refused before (VERDICT r2 item 6)."""
+    from biem_helmholtz_sphere_tpu.coords import from_cartesian
+    from biem_helmholtz_sphere_tpu.translation._ops import translation_matrix
+    from biem_helmholtz_sphere_tpu.translation._scaled import sr_scaled
+
+    c = create_from_branching_types("caa")
+    t = jnp.asarray([[0.4, 3.9, -0.7, 1.2], [1.0, -3.0, 0.4, 0.2]]).T
+    t_sph = from_cartesian(c, t)
+    k = jnp.asarray(1.3)
+    ref = translation_matrix(c, t_sph, 6, k, kind="SR")
+    mant, s_mat = sr_scaled(c, t_sph, 6, k)
+    got = mant * jnp.exp(s_mat)
+    err = np.abs(tonp(got - ref)).max() / np.abs(tonp(ref)).max()
+    assert err < 1e-12, err
+
+
+def test_stable_f32_4d_caa_beyond_overflow():
+    # 'c'-rooted 4D tree in float32 past the h_n overflow wall: at
+    # k=0.15, t=4.1 the band values |h_n(0.615)| pass 3.4e38 around
+    # n ~ 21, so unscaled f32 assembly NaNs from n_end ~ 12; the scaled
+    # general band scan (stable auto-on in f32) must stay finite and
+    # track the f64 solution.  (Replaces the r2 raise-test: every tree
+    # is scale-compensable since round 3.)
+    c = create_from_branching_types("caa")
+    n_end = 14
+    centers64 = np.zeros((2, 4))
+    centers64[0, 1] = 2.05
+    centers64[1, 1] = -2.05
+    dirn = np.zeros(4)
+    dirn[0] = 1.0
+    k64 = np.asarray(0.15)
+    uin64, _ = plane_wave(k=k64, direction=jnp.asarray(dirn))
+    truth = biem(
+        c,
+        centers=jnp.asarray(centers64),
+        radii=jnp.ones(2),
+        k=jnp.asarray(k64),
+        n_end=n_end,
+        uin=uin64,
+    )
+    u64 = tonp(truth.uscat(jnp.zeros((4, 1)))).ravel()[0]
+
+    uin32, _ = plane_wave(
+        k=jnp.float32(0.15), direction=jnp.asarray(dirn, jnp.float32)
+    )
+    calc = biem(
+        c,
+        centers=jnp.asarray(centers64, jnp.float32),
+        radii=jnp.ones(2, jnp.float32),
+        k=jnp.float32(0.15),
+        n_end=n_end,
+        uin=uin32,
+    )
+    u32 = tonp(calc.uscat(jnp.zeros((4, 1), jnp.float32))).ravel()[0]
+    assert np.isfinite(u32.real) and np.isfinite(u32.imag)
+    assert abs(u32 - u64) < 1e-4 * max(abs(u64), 1e-6), (u32, u64)
 
 
 @pytest.mark.parametrize("btype", ["a", "ba", "caa"])
