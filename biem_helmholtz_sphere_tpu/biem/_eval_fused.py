@@ -51,6 +51,15 @@ from ..special._jacobi import jacobi_recurrence
 # unroll factor. jit caches key on the value read at trace time.
 _UNROLL_OVERRIDE = 0
 
+# Pallas fused-eval kernel (ops/pallas_eval.py): "1" routes eligible
+# near-field evals through the VMEM-resident kernel, "0" forces the XLA
+# scan. Read at trace time.
+import os as _os
+
+
+def _use_pallas_eval():
+    return _os.environ.get("BHS_PALLAS_EVAL", "0") == "1"
+
 
 def is_ba_tree(c):
     """True for the 3D "ba" tree (root 'b'/'bp' with a single 'a' child)."""
@@ -109,6 +118,107 @@ def _fused_tables(c, n_end):
     return m_axis, m_abs, hmap, valid, A_lm, B_lm, B1_lm, seed_lm, p0_m
 
 
+@lru_cache(maxsize=32)
+def _pallas_tables(c, n_end, mp):
+    """Dense [n, G-free] kernel tables (numpy, trace-time): the fused
+    recurrence tables padded from M = 2n-1 slots to MP lanes, with the
+    division folded into invb1/binvb1 multiplier tables."""
+    m_axis, m_abs, hmap, valid, A_lm, B_lm, B1_lm, seed_lm, p0_m = (
+        _fused_tables(c, n_end)
+    )
+    n = n_end
+    m = len(m_axis)
+    pad = mp - m
+
+    def padm(a, val=0.0):
+        return np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)],
+                      constant_values=val)
+
+    inv_b1 = 1.0 / B1_lm
+    tabs = {
+        "ab": padm(A_lm).astype(np.float32),
+        "binvb1": padm(B_lm * inv_b1).astype(np.float32),
+        "invb1": padm(inv_b1, 1.0).astype(np.float32),
+        "seed": padm(seed_lm.astype(np.float64)).astype(np.float32),
+        "p0": padm(p0_m[None, :]).astype(np.float32),
+        "mflat": padm(m_axis.astype(np.float64)[None, :]).astype(np.float32),
+        "mabs": padm(m_abs.astype(np.float64)[None, :]).astype(np.float32),
+    }
+    return tabs, hmap, valid
+
+
+def _fused_ba_dot_pallas(c, n_end, w, theta, phi, rad, shape):
+    """VMEM-resident kernel path (ops/pallas_eval.py).  shape is the
+    full broadcast [x..., first..., B] result shape; w must carry no
+    point axes (sizes 1 there)."""
+    import jax
+
+    from ..ops.pallas_eval import fused_eval_pallas
+
+    n = n_end
+    m = 2 * n - 1
+    mp = -(-m // 64) * 64
+    tabs, hmap, valid = _pallas_tables(c, n_end, mp)
+
+    nb = shape[-1]
+    w_nopt = w.reshape((-1,) + w.shape[-2:])  # [F, B, H] (x axes are 1)
+    f = w_nopt.shape[0]
+    g = f * nb
+    # regroup density weights -> [n, G*MP]
+    w2 = cplx.take(w_nopt, jnp.asarray(np.maximum(hmap, 0)), axis=-1)
+    w2 = w2 * jnp.asarray(valid, dtype=jnp.float32)  # [F, B, M, n]
+    w2 = cplx.moveaxis(w2, -1, 0).reshape((n, g, m))  # [n, G, M]
+    zpad = C.zeros((n, g, mp - m), dtype=jnp.float32)
+    w2 = cplx.concatenate([w2, zpad], axis=-1).reshape((n, g * mp))
+
+    p = int(np.prod(shape[:-1])) // f
+    theta_f = jnp.broadcast_to(theta, shape).reshape(p, g)
+    phi_f = jnp.broadcast_to(phi, shape).reshape(p, g)
+    rad_f = cplx.broadcast_to(rad[..., :n], shape + (n,)).reshape(
+        (p, g, n)
+    )
+    rad_f = cplx.moveaxis(rad_f, -1, -2).reshape((p, n * g))
+
+    p_tile = 256 if p % 256 == 0 else 128
+    p_pad = -(-p // p_tile) * p_tile
+    if p_pad != p:
+        padn = p_pad - p
+        theta_f = jnp.pad(theta_f, ((0, padn), (0, 0)))
+        phi_f = jnp.pad(phi_f, ((0, padn), (0, 0)))
+        rad_f = C(
+            jnp.pad(rad_f.re, ((0, padn), (0, 0))),
+            jnp.pad(rad_f.im, ((0, padn), (0, 0))),
+        )
+
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+
+    def tile_g(a):  # [n|1, MP] per-(l, m) table -> [n|1, G*MP] lanes
+        return jnp.asarray(np.tile(a, (1, g)))
+
+    outr, outi = fused_eval_pallas(
+        jnp.cos(theta_f).astype(jnp.float32),
+        jnp.sin(theta_f).astype(jnp.float32),
+        phi_f.astype(jnp.float32),
+        rad_f.re.astype(jnp.float32),
+        rad_f.im.astype(jnp.float32),
+        w2.re.astype(jnp.float32),
+        w2.im.astype(jnp.float32),
+        tile_g(tabs["ab"]),
+        tile_g(tabs["binvb1"]),
+        tile_g(tabs["invb1"]),
+        tile_g(tabs["seed"]),
+        tile_g(tabs["p0"]),
+        tile_g(tabs["mflat"]),
+        tile_g(tabs["mabs"]),
+        n=n,
+        g=g,
+        mp=mp,
+        p_tile=p_tile,
+        interpret=interpret,
+    )
+    return C(outr[:p], outi[:p]).reshape(shape)
+
+
 def fused_ba_dot(c, n_end, w, theta, phi, rad=None):
     """sum_h w[..., B, H] rad[..., B, :]_(l_h) Y_h(theta, phi) -> C [..., B].
 
@@ -123,6 +233,17 @@ def fused_ba_dot(c, n_end, w, theta, phi, rad=None):
     n = n_end
     n_m = len(m_axis)
     rdt = jnp.result_type(theta.dtype, jnp.float32)
+    if rad is not None and rdt == jnp.float32 and _use_pallas_eval():
+        shape = jnp.broadcast_shapes(
+            C.of(w).re.shape[:-1], theta.shape, rad.re.shape[:-1]
+        )
+        w_ = C.of(w)
+        f = int(np.prod(w_.re.shape[:-2], dtype=np.int64))
+        if (
+            len(shape) >= 1
+            and int(np.prod(shape[:-1], dtype=np.int64)) % max(f, 1) == 0
+        ):
+            return _fused_ba_dot_pallas(c, n_end, w_, theta, phi, rad, shape)
     w = C.of(w).astype(rdt)
     if rad is not None:
         rad = rad.astype(rdt)

@@ -144,6 +144,46 @@ def test_corner_artifact_matches_reference():
         assert abs(got - ref) < 1e-7, f"{key}: {got} vs {ref}"
 
 
+# Converged rows of the reference's committed n_balls family
+# (/root/reference/accuracy/accuracy_n_balls_a.csv; 2D lattice, k=1,
+# CPU f64).  The committed repo artifact (accuracy/accuracy.csv,
+# regenerated round 3 at GMRES tol 1e-13) matches every converged row
+# (n_end >= 8) to <= 1.3e-9 — the iterative-solver forward-error floor
+# vs the reference's dense LU; rows n_end <= 6 embed the reference's
+# quadrature-RHS aliasing (see PARITY.md "jascome low-n deviation").
+REFERENCE_N_BALLS_ROWS = {
+    # (n_balls, n_end): reference uscat(0)
+    # (accuracy_n_balls_a.csv rows 21, 42, 63, 82 there)
+    (4, 90): -1.1072550619427564 + 0.35168577565058234j,
+    (16, 90): -1.0480631533178784 - 0.27121926513494804j,
+    (64, 90): -1.0537360056906624 + 0.02146423517307422j,
+    (256, 53): -0.9986093441190892 - 0.0011085158520189268j,
+}
+
+
+def test_n_balls_artifact_matches_reference():
+    """Committed n_balls family rows reproduce the reference's converged
+    values (data parity, no solve; VERDICT r2 item 2)."""
+    import csv
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "accuracy", "accuracy.csv"
+    )
+    seen = {}
+    with open(path, newline="") as f:
+        for r in csv.DictReader(f):
+            if r["mode"] == "n_balls" and r["dtype"] == "float64":
+                seen[(int(r["n_balls"]), int(r["n_end"]))] = complex(
+                    float(r["uscat_real"]), float(r["uscat_imag"])
+                )
+    missing = set(REFERENCE_N_BALLS_ROWS) - set(seen)
+    assert not missing, f"family rows missing: {sorted(missing)}"
+    for key, ref in REFERENCE_N_BALLS_ROWS.items():
+        got = seen[key]
+        assert abs(got - ref) < 2e-9, f"{key}: {got} vs {ref}"
+
+
 def test_exact_truncated_system_n_end_1():
     """At n_end=1 (one harmonic per ball) the 2-ball 2D system is a 2x2
     linear system whose entries are analytic: diag = SD*H_0(k*rho),
