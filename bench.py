@@ -155,7 +155,16 @@ def main():
     dens_zero = C.zeros((nb, h_num), dtype=np.float32)
 
     # compile (excluded from timing; persistent-cached across runs)
-    solve_jit(jnp.float32(K0)).block_until_ready()
+    warm = solve_jit(jnp.float32(K0))
+    warm.block_until_ready()
+    # Force the axon session into SYNCHRONOUS dispatch with one explicit
+    # device->host readback BEFORE any timing: in the fresh-session
+    # deferred mode block_until_ready does not block and every timing
+    # below is fiction (BENCH_NOTES.md "axon dispatch modes" — the r3
+    # driver bench recorded 0.0001 s/k this way).  Earlier rounds were
+    # saved by an accidental np.asarray inside table builders; the
+    # concreteness fix removed it, so flip explicitly.
+    assert np.isfinite(float(np.asarray(warm.re[0, 0])))
     kwarm = np.linspace(K0 - 0.5, K0 - 0.4, KB).astype(np.float32)
     block_jit(jnp.asarray(kwarm), dens_zero)[0].block_until_ready()
 
@@ -208,14 +217,18 @@ def main():
 
     eval_jit = jax.jit(eval_chunked)
     rng = np.random.default_rng(0)
-    x = rng.normal(size=(3, EVAL_POINTS)).astype(np.float32) * 20.0
-    eval_jit(calc, jnp.asarray(x)).block_until_ready()  # compile
-    # best-of-3: single-shot timing swung 2x run-to-run on the axon
+    # Upload the point cloud ONCE: a jnp.asarray inside the timing loop
+    # re-ships 1.5 MB through the axon tunnel per call (~140 ms), which
+    # is what regressed the r2/r3 driver eval numbers vs the probe
+    # (5.6e5 vs 1.37e6 pts/s, tools/eval_unroll_probe.py).
+    x = jnp.asarray(rng.normal(size=(3, EVAL_POINTS)).astype(np.float32) * 20.0)
+    eval_jit(calc, x).block_until_ready()  # compile
+    # best-of-5: single-shot timing swung 2x run-to-run on the axon
     # tunnel (round-2 notes); the min is the device-limited number
     dt_best = np.inf
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
-        eval_jit(calc, jnp.asarray(x)).block_until_ready()
+        eval_jit(calc, x).block_until_ready()
         dt_best = min(dt_best, time.perf_counter() - t0)
     pts_per_s = EVAL_POINTS / dt_best
 

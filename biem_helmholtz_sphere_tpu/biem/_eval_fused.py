@@ -164,36 +164,39 @@ def _fused_ba_dot_pallas(c, n_end, w, theta, phi, rad, shape):
     w_nopt = w.reshape((-1,) + w.shape[-2:])  # [F, B, H] (x axes are 1)
     f = w_nopt.shape[0]
     g = f * nb
-    # regroup density weights -> [n, G*MP]
+    # regroup density weights -> [G, n, MP]
     w2 = cplx.take(w_nopt, jnp.asarray(np.maximum(hmap, 0)), axis=-1)
     w2 = w2 * jnp.asarray(valid, dtype=jnp.float32)  # [F, B, M, n]
-    w2 = cplx.moveaxis(w2, -1, 0).reshape((n, g, m))  # [n, G, M]
-    zpad = C.zeros((n, g, mp - m), dtype=jnp.float32)
-    w2 = cplx.concatenate([w2, zpad], axis=-1).reshape((n, g * mp))
+    w2 = cplx.moveaxis(w2, -1, -2).reshape((g, n, m))  # [G, n, M]
+    zpad = C.zeros((g, n, mp - m), dtype=jnp.float32)
+    w2 = cplx.concatenate([w2, zpad], axis=-1)  # [G, n, MP]
 
     p = int(np.prod(shape[:-1])) // f
-    theta_f = jnp.broadcast_to(theta, shape).reshape(p, g)
-    phi_f = jnp.broadcast_to(phi, shape).reshape(p, g)
+    # ball-leading layouts: [G, P, 1] angles, [G, P, n] radial table
+    theta_f = jnp.broadcast_to(theta, shape).reshape(p, g).T[:, :, None]
+    phi_f = jnp.broadcast_to(phi, shape).reshape(p, g).T[:, :, None]
     rad_f = cplx.broadcast_to(rad[..., :n], shape + (n,)).reshape(
         (p, g, n)
     )
-    rad_f = cplx.moveaxis(rad_f, -1, -2).reshape((p, n * g))
+    rad_f = cplx.moveaxis(rad_f, 1, 0)  # [G, P, n]
 
-    p_tile = 256 if p % 256 == 0 else 128
+    # MEASURED (tools/ptile probe, v5e round 3): 256 is the largest
+    # point tile Mosaic compiles (512+ fail remote compile); 1.12e6
+    # pts/s at the bench config vs the XLA scan's 1.96e6 — the kernel
+    # stays env-gated off by default (BENCH_NOTES.md "Pallas fused-eval
+    # A/B").
+    p_tile = int(_os.environ.get("BHS_PALLAS_PTILE", "0")) or (
+        256 if p % 256 == 0 else 128
+    )
     p_pad = -(-p // p_tile) * p_tile
     if p_pad != p:
         padn = p_pad - p
-        theta_f = jnp.pad(theta_f, ((0, padn), (0, 0)))
-        phi_f = jnp.pad(phi_f, ((0, padn), (0, 0)))
-        rad_f = C(
-            jnp.pad(rad_f.re, ((0, padn), (0, 0))),
-            jnp.pad(rad_f.im, ((0, padn), (0, 0))),
-        )
+        pad3 = ((0, 0), (0, padn), (0, 0))
+        theta_f = jnp.pad(theta_f, pad3)
+        phi_f = jnp.pad(phi_f, pad3)
+        rad_f = C(jnp.pad(rad_f.re, pad3), jnp.pad(rad_f.im, pad3))
 
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
-
-    def tile_g(a):  # [n|1, MP] per-(l, m) table -> [n|1, G*MP] lanes
-        return jnp.asarray(np.tile(a, (1, g)))
 
     outr, outi = fused_eval_pallas(
         jnp.cos(theta_f).astype(jnp.float32),
@@ -203,20 +206,21 @@ def _fused_ba_dot_pallas(c, n_end, w, theta, phi, rad, shape):
         rad_f.im.astype(jnp.float32),
         w2.re.astype(jnp.float32),
         w2.im.astype(jnp.float32),
-        tile_g(tabs["ab"]),
-        tile_g(tabs["binvb1"]),
-        tile_g(tabs["invb1"]),
-        tile_g(tabs["seed"]),
-        tile_g(tabs["p0"]),
-        tile_g(tabs["mflat"]),
-        tile_g(tabs["mabs"]),
+        jnp.asarray(tabs["ab"]),
+        jnp.asarray(tabs["binvb1"]),
+        jnp.asarray(tabs["invb1"]),
+        jnp.asarray(tabs["seed"]),
+        jnp.asarray(tabs["p0"]),
+        jnp.asarray(tabs["mflat"]),
+        jnp.asarray(tabs["mabs"]),
         n=n,
         g=g,
         mp=mp,
         p_tile=p_tile,
         interpret=interpret,
     )
-    return C(outr[:p], outi[:p]).reshape(shape)
+    # [G, P_pad, 1] -> [P, G] -> result shape
+    return C(outr[:, :p, 0].T, outi[:, :p, 0].T).reshape(shape)
 
 
 def fused_ba_dot(c, n_end, w, theta, phi, rad=None):
