@@ -52,8 +52,11 @@ SPACING = 4.0
 K0 = 8.0
 N_K = 3  # timed k-points for the single-dispatch comparison number
 SWEEP_N = 100  # k-points in the blocked sweep (the headline)
-KB = 2  # k-block size: GMRES holds ~3 KB-sized [KB,16384,16384] f32 temps
-# (re, im, one transposed-layout copy); KB=4 exceeds the 15.75G v5e HBM.
+# k-block size.  The r3 auto policy routes this config to the generic
+# unique-offset matfree GMRES (BENCH_NOTES.md round 3): no
+# [KB,16384,16384] dense temporaries remain, so KB is no longer
+# HBM-capped at 2 the way the dense solver was.
+KB = int(os.environ.get("BENCH_KB", "4"))
 EVAL_POINTS = 1 << 17
 # MEASURED (tools/eval_unroll_probe.py round 3): with the fully-unrolled
 # degree-major fused eval, larger chunks win (1.35e6 pts/s at 16384 vs

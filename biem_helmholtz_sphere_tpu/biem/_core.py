@@ -421,7 +421,8 @@ def _pair_routing(centers_np):
 
 
 def _matfree_operator(
-    c, n_end, centers_np, radii, k, eta, alpha, beta, method, sr_map=None
+    c, n_end, centers_np, radii, k, eta, alpha, beta, method, sr_map=None,
+    stable=False,
 ):
     """Matrix-free system operator for concrete geometry: (mv, diag).
 
@@ -440,23 +441,61 @@ def _matfree_operator(
     C [..., NO, H, H] after they are built — used by
     parallel.sharded_solve to pin a device sharding over the offset axis
     so each mesh device holds (and matmuls) only its own offsets.
+
+    stable=True uses the scale-compensated factors (mantissa x exponent,
+    translation/_scaled.py) so f32 solves stay finite past the
+    h_n(k t_min) overflow wall — WITH UNIFORM RADII the radial exponents
+    are ball-independent and the whole compensation exponential folds
+    into the [NO, H, H] offset blocks (same folding as stable dense
+    assembly, _assemble uniform_r branch).  Non-uniform radii would need
+    per-pair exponentials that defeat offset dedup, so stable is
+    silently dropped there (matching the pre-stable behavior).
     """
     b_ = basis(c, n_end)
     h_num = b_.num
     n_balls = centers_np.shape[0]
-    sing_row, reg_row, blc_col = _radial_rows(c, n_end, radii, k, eta, alpha, beta)
-    diag = sing_row * blc_col  # C [..., B, H]
+    if stable and not (
+        _is_concrete(radii)
+        and bool((np.asarray(radii) == np.asarray(radii)[..., :1]).all())
+    ):
+        stable = False
+    if stable:
+        (sing_m, e_s), (reg_row, e_r), (blc_col, e_b) = _radial_rows_scaled(
+            c, n_end, radii, k, eta, alpha, beta
+        )
+        # the diagonal entry is physically bounded; its factors are not
+        diag = (sing_m * blc_col) * jnp.exp(e_s + e_b)
+    else:
+        sing_row, reg_row, blc_col = _radial_rows(
+            c, n_end, radii, k, eta, alpha, beta
+        )
+        diag = sing_row * blc_col  # C [..., B, H]
 
     uniq, gth_np, sct_np, p_max = _pair_routing(centers_np)
     no = len(uniq)
     pm_np = (-1.0) ** (b_.n_root.astype(np.int64) % 2)
 
-    sr = translation_matrix(
-        c, jnp.moveaxis(jnp.asarray(uniq), -1, 0), n_end, k[..., None],
-        kind="SR", method=method,
-    )  # C [..., NO, H, H]
     rdt = blc_col.dtype
-    sr = sr.astype(rdt)
+    t_cart = jnp.moveaxis(jnp.asarray(uniq), -1, 0)  # [d, NO]
+    if stable:
+        from ..coords import from_cartesian
+        from ..translation._scaled import sr_scaled
+
+        sr_m, sr_e = sr_scaled(
+            c, from_cartesian(c, t_cart), n_end, k[..., None],
+            kind="SR", t_cart=t_cart, method=method,
+        )
+        # uniform radii: row/col exponents are ball-independent [..., H]
+        e_r0 = e_r[..., 0, :]
+        e_b0 = e_b[..., 0, :]
+        sr = sr_m.astype(rdt) * jnp.exp(
+            e_r0[..., None, :, None] + sr_e + e_b0[..., None, None, :]
+        ).astype(rdt)
+    else:
+        sr = translation_matrix(
+            c, t_cart, n_end, k[..., None], kind="SR", method=method,
+        )  # C [..., NO, H, H]
+        sr = sr.astype(rdt)
     if sr_map is not None:
         sr = sr_map(sr)
     # Materialization fence: pin the tables before the GMRES loop
@@ -824,12 +863,15 @@ def biem(
     second-kind structure of the combined-field system makes this
     converge in tens of matvecs; required on TPU for B*H >~ 8k where the
     XLA block-LU overflows scoped vmem), "matfree" (GMRES whose matvec
-    routes per-offset (S|R) blocks with one-hot matmuls; the B^2 H^2
-    matrix is never formed, so B is bounded by NO*H^2 not B^2*H^2 — use
-    when the dense matrix exceeds HBM; per-iteration it underutilizes
-    the MXU versus one dense matvec, 0.96 s vs 0.56 s per k-point at the
-    B=16 n_end=32 bench), or "auto" (direct up to B*H = 6144, then
-    dense-GMRES while the matrix fits ~6 GB, then matfree).
+    routes per-offset (S|R) blocks with one-hot matmuls — the B^2 H^2
+    matrix is never formed AND each Krylov step reads only NO/B^2 of
+    the dense matrix's bytes: MEASURED 0.067 s vs dense-GMRES 0.125 s
+    full asm+rhs+solve at the B=16 n_end=32 bench config, and the only
+    way B >> 64 fits one chip; lattices of >= 64 spheres use the FFT
+    block-convolution form), or "auto" (direct up to B*H = 6144;
+    generic matfree for dedup-rich 8 <= B < 64 geometries; lattice-FFT
+    matfree from B = 64; dense-GMRES while the matrix fits ~6 GB, then
+    matfree regardless).
 
     density0: optional warm-start density [..., B, H] for the iterative
     solvers (extension over the reference API).  In a k-sweep the
@@ -954,13 +996,21 @@ def biem(
             solver == "auto" and dense_bytes > dense_limit
         )
         # the matfree matvec additionally needs concrete single-instance
-        # geometry and an rhs (nothing forcing the dense matrix to exist)
+        # geometry and an rhs (nothing forcing the dense matrix to
+        # exist).  Geometry broadcast over leading batch axes (k-blocked
+        # sweeps broadcast centers to [KB, B, d] for the batch-rank
+        # rule) collapses back to the shared [B, d] instance.
+        c2_np = None
+        if _is_concrete(centers):
+            c2_np = np.asarray(centers)
+            if c2_np.ndim > 2:
+                flat = c2_np.reshape((-1,) + c2_np.shape[-2:])
+                c2_np = flat[0] if bool((flat == flat[:1]).all()) else None
         matfree_ok = (
             f_exp is not None
             and not force_matrix
             and n_balls > 1
-            and _is_concrete(centers)
-            and centers.ndim == 2
+            and c2_np is not None
         )
         # lattice geometries (the reference CLI's n_balls sweeps) get
         # the FFT block-convolution matvec: nothing of size B^2 is ever
@@ -968,20 +1018,49 @@ def biem(
         # 64 the O(B log B) matvec + O(B) kernel build also beat dense
         # assembly outright, so auto prefers it well before dense_limit.
         op = None
-        if matfree_ok and (use_matfree or (solver == "auto" and n_balls >= 64)):
+        if matfree_ok and n_balls >= 64 and (use_matfree or solver == "auto"):
+            # below 64 balls the generic unique-offset matvec beats the
+            # FFT form (0.067 vs 0.088 s at the 16-ball bench config),
+            # so the lattice kernel only takes over at scale
             from ._lattice import lattice_operator
 
             op = lattice_operator(
                 c,
                 n_end,
-                np.asarray(centers),
+                c2_np,
                 radii,
                 k,
                 eta,
                 alpha,
                 beta,
                 translational_coefficients_method,
+                stable=stable,
             )
+        if (
+            op is None
+            and matfree_ok
+            and not use_matfree
+            and solver == "auto"
+            and 8 <= n_balls < 64
+        ):
+            # dedup-rich mid-size geometry: the unique-offset matvec
+            # reads NO/B^2 of the dense matrix per Krylov step and skips
+            # the B^2 H^2 matrix write entirely — MEASURED 0.067 s vs
+            # dense-GMRES 0.125 s full asm+rhs+solve at the 16-ball
+            # n_end=32 bench config (BENCH_NOTES.md round 3).  The
+            # stable build folds exponents per offset, which needs
+            # uniform radii — keep dense where stable is on but radii
+            # vary (per-pair exponentials would defeat the dedup).
+            uniq_off, _, _, _ = _pair_routing(c2_np)
+            n_pairs = n_balls * (n_balls - 1) // 2
+            stable_ok = not stable or (
+                _is_concrete(radii)
+                and bool(
+                    (np.asarray(radii) == np.asarray(radii)[..., :1]).all()
+                )
+            )
+            if len(uniq_off) * 2 <= n_pairs and stable_ok:
+                use_matfree = True
         matfree = matfree_ok and (use_matfree or op is not None)
         use_gmres = (
             matfree
@@ -993,13 +1072,14 @@ def biem(
             mv, diag = op if op is not None else _matfree_operator(
                 c,
                 n_end,
-                np.asarray(centers),
+                c2_np,
                 radii,
                 k,
                 eta,
                 alpha,
                 beta,
                 translational_coefficients_method,
+                stable=stable,
             )
             batch = diag.shape[:-1]
             f2 = cplx.broadcast_to(f_exp, batch + f_exp.shape[-2:]).reshape(

@@ -35,7 +35,7 @@ from ..harmonics._index import basis
 from ..ops import cplx
 from ..ops.cplx import C
 from ..translation import translation_matrix
-from ._core import _radial_rows
+from ._core import _is_concrete, _radial_rows, _radial_rows_scaled
 
 
 def lattice_routing(centers_np):
@@ -92,8 +92,15 @@ def lattice_routing(centers_np):
     return axes, spacings, tuple(shape), cell2ball, flat
 
 
-def _build_kernel_fft(c, n_end, routing, k, method, rdt):
-    """FFT of the block-convolution kernel: C [..., Fx, Fy, H, H]."""
+def _build_kernel_fft(c, n_end, routing, k, method, rdt, row_col_exps=None):
+    """FFT of the block-convolution kernel: C [..., Fx, Fy, H, H].
+
+    row_col_exps=(e_r0, e_b0) ([..., H] each) switches to the
+    scale-compensated build: mantissa (S|R) blocks from sr_scaled with
+    the ball-independent row/column radial exponents folded in, so the
+    kernel is finite in f32 past the h_n(k t_min) overflow wall (same
+    folding as _core._matfree_operator / stable dense assembly).
+    """
     axes, (sx, sy), (lx, ly), _, _ = routing
     d = c.c_ndim
     b_ = basis(c, n_end)
@@ -110,9 +117,35 @@ def _build_kernel_fft(c, n_end, routing, k, method, rdt):
     t = np.zeros((d, noh))
     t[axes[0]] += dis_h * sx
     t[axes[1]] += djs_h * sy
-    sr_half = translation_matrix(
-        c, jnp.asarray(t), n_end, k[..., None], kind="SR", method=method
-    ).astype(rdt)  # C [..., NOh, H, H]
+    # Offsets enter as a RUNTIME value, not a trace-time literal: with
+    # the [d, NOh] offset table embedded as an HLO constant, the axon
+    # backend miscompiles the folded translation build in THIS program
+    # context — 9 of 24 offset blocks come back NaN at the k=8 n_end=32
+    # bench config (offset- and context-dependent; the identical
+    # computation with t as a program input is clean for both offset
+    # halves, tools probe round 3, same family as the round-1 Rodrigues
+    # constant-folding miscompile in BENCH_NOTES.md).  The barrier also
+    # disables the concrete-|t| coaxial dedup, which is one-time kernel-
+    # build work and does not affect the per-iteration matvec.
+    t_dev = jax.lax.optimization_barrier(jnp.asarray(t))
+    if row_col_exps is not None:
+        from ..coords import from_cartesian
+        from ..translation._scaled import sr_scaled
+
+        e_r0, e_b0 = row_col_exps
+        sr_m, sr_e = sr_scaled(
+            c, from_cartesian(c, t_dev), n_end, k[..., None],
+            kind="SR", t_cart=t_dev, method=method,
+        )
+        sr_half = (
+            sr_m * jnp.exp(
+                e_r0[..., None, :, None] + sr_e + e_b0[..., None, None, :]
+            )
+        ).astype(rdt)  # C [..., NOh, H, H], compensation folded
+    else:
+        sr_half = translation_matrix(
+            c, t_dev, n_end, k[..., None], kind="SR", method=method
+        ).astype(rdt)  # C [..., NOh, H, H]
     pm = jnp.asarray(
         (-1.0) ** (b_.n_root.astype(np.int64) % 2), dtype=rdt
     )
@@ -133,11 +166,15 @@ def _build_kernel_fft(c, n_end, routing, k, method, rdt):
     return C(khat.real, khat.imag)
 
 
-def lattice_operator(c, n_end, centers_np, radii, k, eta, alpha, beta, method):
+def lattice_operator(
+    c, n_end, centers_np, radii, k, eta, alpha, beta, method, stable=False
+):
     """(mv, diag) for a lattice geometry, or None if not a lattice.
 
     Same contract as _core._matfree_operator: mv maps C [..., B*H] ->
     C [..., B*H] applying the full system matrix; diag is its diagonal.
+    stable=True (uniform radii only, silently dropped otherwise) builds
+    the convolution kernel scale-compensated — see _build_kernel_fft.
     """
     routing = lattice_routing(centers_np)
     if routing is None:
@@ -147,10 +184,27 @@ def lattice_operator(c, n_end, centers_np, radii, k, eta, alpha, beta, method):
     b_ = basis(c, n_end)
     h_num = b_.num
     n_balls = centers_np.shape[0]
-    sing_row, reg_row, blc_col = _radial_rows(c, n_end, radii, k, eta, alpha, beta)
-    diag = sing_row * blc_col  # C [..., B, H]
+    if stable and not (
+        _is_concrete(radii)
+        and bool((np.asarray(radii) == np.asarray(radii)[..., :1]).all())
+    ):
+        stable = False
+    if stable:
+        (sing_m, e_s), (reg_row, e_r), (blc_col, e_b) = _radial_rows_scaled(
+            c, n_end, radii, k, eta, alpha, beta
+        )
+        diag = (sing_m * blc_col) * jnp.exp(e_s + e_b)
+        row_col_exps = (e_r[..., 0, :], e_b[..., 0, :])
+    else:
+        sing_row, reg_row, blc_col = _radial_rows(
+            c, n_end, radii, k, eta, alpha, beta
+        )
+        diag = sing_row * blc_col  # C [..., B, H]
+        row_col_exps = None
     rdt = blc_col.dtype
-    khat = _build_kernel_fft(c, n_end, routing, k, method, rdt)
+    khat = _build_kernel_fft(
+        c, n_end, routing, k, method, rdt, row_col_exps=row_col_exps
+    )
     khat, blc_s, reg_s, diag = jax.lax.optimization_barrier(
         (khat, blc_col, reg_row, diag)
     )

@@ -545,8 +545,11 @@ def test_lattice_fft_matfree_matches_direct():
 def test_auto_policy_prefers_lattice_matfree():
     # solver="auto" routes lattices of >= 64 spheres to the FFT
     # block-convolution matvec (no B^2 matrix), well before the dense
-    # memory limit, and matches the dense GMRES solve; small lattices
-    # keep the dense path (one big MXU matvec per iteration wins there).
+    # memory limit, and matches the dense GMRES solve; dedup-rich
+    # mid-size geometries (8 <= B < 64, unique offsets <= pairs/2) get
+    # the generic unique-offset matvec (measured 1.9x faster than dense
+    # GMRES at the 16-ball bench config, BENCH_NOTES.md round 3); tiny
+    # systems keep the dense path.
     from biem_helmholtz_sphere_tpu.cli._accuracy import lattice_centers
 
     c = create_from_branching_types("a")
@@ -566,7 +569,22 @@ def test_auto_policy_prefers_lattice_matfree():
         c, centers=lattice_centers(4, 2), radii=jnp.ones(16),
         k=jnp.asarray(1.0), n_end=4, uin=uin,
     )
-    assert cal16.matrix is not None  # small lattice keeps dense
+    assert cal16.matrix is None  # 16-ball lattice: generic matfree
+    d16 = tonp(cal16.density)
+    d16_g = tonp(
+        biem(
+            c, centers=lattice_centers(4, 2), radii=jnp.ones(16),
+            k=jnp.asarray(1.0), n_end=4, uin=uin, solver="gmres",
+        ).density
+    )
+    assert np.abs(d16 - d16_g).max() / np.abs(d16_g).max() < 1e-9
+    cal2 = biem(
+        c,
+        centers=jnp.asarray(np.array([[0.0, 2.0], [0.0, -2.0]])),
+        radii=jnp.ones(2),
+        k=jnp.asarray(1.0), n_end=4, uin=uin,
+    )
+    assert cal2.matrix is not None  # tiny system keeps dense
 
 
 def test_fused_eval_matches_general(rng):

@@ -48,6 +48,10 @@ def lattice_centers(n_side, spacing, d=3):
 def timeit(f, *a, n=5):
     out = f(*a)
     jax.block_until_ready(out)
+    # flip the axon session to synchronous dispatch (one readback) so
+    # block_until_ready actually blocks (BENCH_NOTES "axon dispatch modes")
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    assert bool(np.all(np.isfinite(np.asarray(leaf)))) or True
     t0 = time.perf_counter()
     for _ in range(n):
         jax.block_until_ready(f(*a))
