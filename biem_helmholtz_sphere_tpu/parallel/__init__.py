@@ -204,9 +204,18 @@ def sharded_solve(
                     with_sharding_constraint(sr.im, offs),
                 )
 
+            # scale-compensate in f32 exactly as biem()'s auto policy
+            # does (uniform radii only; _matfree_operator drops the flag
+            # itself otherwise)
+            stable = (
+                jnp.finfo(
+                    jnp.result_type(radii_c.dtype, jnp.float32)
+                ).bits
+                == 32
+            )
             mv, diag = _matfree_operator(
                 c, n_end, centers_np, radii_c, k_c, eta_c, alpha_c,
-                beta_c, None, sr_map=sr_map,
+                beta_c, None, sr_map=sr_map, stable=stable,
             )
             x = cplx.gmres_solve_op(mv, diag, f.reshape((n,)), tol=tol)
         else:
