@@ -1,8 +1,10 @@
 """North-star benchmark (BASELINE.json): BIE assembly+solve per k-point at
 n_balls=16, n_end=32 (3D), plus uscat field-evaluation throughput, on one
-TPU chip in complex64 (real-pair representation; GMRES solver — the XLA
-TPU block-LU overflows scoped vmem beyond ~18k rows, and the second-kind
-combined-field system converges in tens of matvecs anyway).
+TPU chip in complex64 (real-pair representation).  The auto solver policy
+routes this config to the scale-compensated unique-offset matrix-free
+GMRES (BENCH_NOTES.md round 3: 0.067 s full step vs dense-GMRES 0.125 —
+each Krylov step reads the [NO, H, H] offset blocks, NO/B^2 of the dense
+matrix's bytes, and the B^2 H^2 matrix is never written).
 
 Headline number: per-k-point wall time over a 100-point k sweep solved in
 k-blocks of KB (one compiled program, leading batch axis), which is how
