@@ -981,10 +981,12 @@ def biem(
         # where restarted GMRES at f64 tolerances can stagnate (the
         # 256-sphere lattice row: LU matches the reference to 10 digits
         # where GMRES(64) returned 1e-4 error, BENCH_NOTES.md), and a
-        # 12k-row f64 LU is minutes on a host core.  Dense-matrix GMRES
-        # while the B^2 H^2 matrix fits memory (one big matvec per
-        # iteration is the fastest MXU shape); matrix-free GMRES beyond
-        # (no B^2 memory scaling, ~1.7x per-k-point cost at B=16).
+        # 12k-row f64 LU is minutes on a host core.  Matrix-free GMRES
+        # for dedup-rich mid-size geometries (each Krylov step reads
+        # NO/B^2 of the dense matrix's bytes — measured 1.9x faster
+        # than dense-GMRES at B=16 n_end=32, BENCH_NOTES.md round 3)
+        # and beyond the dense memory limit; dense-matrix GMRES for
+        # the dedup-poor middle ground.
         accel = jax.default_backend() not in ("cpu",)
         rdtb = jnp.result_type(
             radii.dtype, (k.re if isinstance(k, C) else k).dtype, jnp.float32
