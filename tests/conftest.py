@@ -33,10 +33,12 @@ import pytest  # noqa: E402
 # Smoke/slow tiering (the reference excludes heavy numerics from CI the
 # same way, SURVEY.md section 4).  Tests below are compile-heavy (>10 s
 # each even with a warm persistent cache); `pytest -m "not slow"` is the
-# <5 min smoke tier and still covers every subsystem, including the
-# canonical README golden (test_golden_values[ba-...], deliberately NOT
-# listed here).  Matched by nodeid prefix so parametrized variants can
-# be tiered individually.
+# smoke tier — measured 6:28 on this 1-core host with a warm
+# .jax_cache_cpu (388 s, 165 tests, round 3); code changes that
+# invalidate cached programs add recompile time on the first run.  It
+# still covers every subsystem, including the canonical README golden
+# (test_golden_values[ba-...], deliberately NOT listed here).  Matched
+# by nodeid prefix so parametrized variants can be tiered individually.
 _SLOW_NODEID_PREFIXES = (
     "test_biem.py::test_stable_f32_beyond_overflow",
     "test_biem.py::test_batched_k_sweep_and_jit",
@@ -85,6 +87,10 @@ _SLOW_NODEID_PREFIXES = (
     "test_translation.py::test_translation_addition_theorem[bba",
     "test_frontends.py::test_sharded_sweep_and_uscat",
     "test_biem.py::test_auto_policy_prefers_lattice_matfree",
+    # round-3 session 2: the Pallas interpret-mode parity test compiles
+    # the kernel twice (scalar + batched) — heavy; the Pallas path is
+    # env-gated off by default, so slow-tier coverage suffices.
+    "test_biem.py::test_pallas_eval_matches_scan",
 )
 
 
