@@ -169,7 +169,10 @@ def main():
     # driver bench recorded 0.0001 s/k this way).  Earlier rounds were
     # saved by an accidental np.asarray inside table builders; the
     # concreteness fix removed it, so flip explicitly.
-    assert np.isfinite(float(np.asarray(warm.re[0, 0])))
+    # plain statement (not assert: python -O would strip it and silently
+    # restore deferred-dispatch timing fiction — ADVICE r3)
+    if not np.isfinite(float(np.asarray(warm.re[0, 0]))):
+        raise RuntimeError("warmup solve produced non-finite density")
     kwarm = np.linspace(K0 - 0.5, K0 - 0.4, KB).astype(np.float32)
     block_jit(jnp.asarray(kwarm), dens_zero)[0].block_until_ready()
 
@@ -207,7 +210,8 @@ def main():
     bitwise_stable = bool(
         np.array_equal(vals1.view(np.float32), vals2.view(np.float32))
     )
-    assert np.all(np.isfinite(vals1)), "sweep produced non-finite uscat"
+    if not np.all(np.isfinite(vals1)):
+        raise RuntimeError("sweep produced non-finite uscat")
 
     # field-evaluation throughput (chunked to bound [chunk, B, H] memory)
     uin, _ = plane_wave(k=jnp.float32(K0), direction=direction)

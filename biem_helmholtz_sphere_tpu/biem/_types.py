@@ -43,5 +43,9 @@ class BIEMResultCalculatorProtocol(Protocol):
     kind: str
     density: Any
     matrix: Any
+    # iterative-solver convergence diagnostics (None for direct solves;
+    # extension over the reference, whose direct solve needed none)
+    relres: Any
+    iters: Any
 
     def uscat(self, x, /, far_field=False, per_ball=False, expand_x=True): ...

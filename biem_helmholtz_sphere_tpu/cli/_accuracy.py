@@ -90,15 +90,35 @@ _HEADER = [
     "density_device",
     "uscat_dtype",
     "uscat_device",
+    # iterative-solver convergence diagnostics (round 4): empty for
+    # direct/LU rows, which are exact to rounding
+    "solve_relres",
+    "solve_iters",
 ]
 
 
 def _open_sweep_csv(path):
     """Open the sweep CSV for append, migrating any pre-provenance file
-    out of the way (rows must align with the current header)."""
+    out of the way (rows must align with the current header).  A file
+    whose header is a strict PREFIX of the current one (columns were
+    appended since) is upgraded in place: old rows get empty cells for
+    the new columns, so committed artifact rows survive schema growth."""
     if os.path.exists(path):
         with open(path, newline="") as fh:
             first = fh.readline().strip()
+        if first != ",".join(_HEADER) and first.split(",") == _HEADER[
+            : len(first.split(","))
+        ]:
+            pad = len(_HEADER) - len(first.split(","))
+            with open(path, newline="") as fh:
+                rows = list(csv.reader(fh))
+            with open(path, "w", newline="") as fh:
+                w = csv.writer(fh)
+                w.writerow(_HEADER)
+                for r in rows[1:]:
+                    w.writerow(r + [""] * pad)
+            log.info("upgraded %s schema in place (+%d columns)", path, pad)
+            first = ",".join(_HEADER)
         if first != ",".join(_HEADER):
             base, ext = os.path.splitext(path)
             n = 0
@@ -194,7 +214,12 @@ def run_accuracy(
                     n_end=n_end,
                     uin=uin,
                 )
-                return calc.density, calc.uscat(jnp.zeros((d, 1)))
+                return (
+                    calc.density,
+                    calc.uscat(jnp.zeros((d, 1))),
+                    calc.relres,
+                    calc.iters,
+                )
 
             return jax.jit(fn)
 
@@ -214,12 +239,18 @@ def run_accuracy(
                 t0 = time.perf_counter()
                 try:
                     if len(ks) == 1:
-                        dens_c, u0c = step(jnp.asarray(float(ks[0])))
+                        dens_c, u0c, rr_c, it_c = step(jnp.asarray(float(ks[0])))
                     else:
-                        dens_c, u0c = step(
+                        dens_c, u0c, rr_c, it_c = step(
                             jnp.asarray(np.asarray(ks, np.float64))
                         )
                     prov = provenance(dens_c, u0c)
+                    rr = (
+                        None
+                        if rr_c is None
+                        else np.broadcast_to(np.asarray(rr_c), (len(ks),))
+                    )
+                    it_n = None if it_c is None else int(it_c)
                     dens = to_numpy(dens_c)
                     u0s = to_numpy(u0c).reshape(len(ks), -1)[:, 0] if len(
                         ks
@@ -262,6 +293,8 @@ def run_accuracy(
                             host_dev,
                             in_dtype,
                             *prov,
+                            "" if rr is None else f"{float(rr[i]):.3e}",
+                            "" if it_n is None else it_n,
                         ]
                     )
                     fh.flush()

@@ -204,12 +204,16 @@ def sharded_solve(
                     with_sharding_constraint(sr.im, offs),
                 )
 
-            # scale-compensate in f32 exactly as biem()'s auto policy
-            # does (uniform radii only; _matfree_operator drops the flag
-            # itself otherwise)
+            # scale-compensate in f32 with the SAME dtype rule as
+            # biem()'s auto policy: result_type(radii, k, float32)
+            # (ADVICE r3 — radii dtype alone diverged for f32 radii
+            # with f64 k)
+            from ..ops.cplx import C as _C
+
+            k_dt = (k_c.re if isinstance(k_c, _C) else k_c).dtype
             stable = (
                 jnp.finfo(
-                    jnp.result_type(radii_c.dtype, jnp.float32)
+                    jnp.result_type(radii_c.dtype, k_dt, jnp.float32)
                 ).bits
                 == 32
             )
