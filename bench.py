@@ -149,7 +149,10 @@ def main():
             density0=dens0,
         )
         u0 = calc.uscat(jnp.zeros((3, 1)))
-        return u0.re.reshape(KB), u0.im.reshape(KB), calc.density[KB - 1]
+        return (
+            u0.re.reshape(KB), u0.im.reshape(KB), calc.density[KB - 1],
+            calc.iters,
+        )
 
     block_jit = jax.jit(block_step)
 
@@ -188,14 +191,18 @@ def main():
     def run_sweep():
         ksweep = np.linspace(K0 - 1.0, K0 + 1.0, SWEEP_N).astype(np.float32)
         outs = []
+        iters_l = []
         dens = dens_zero
         t0 = time.perf_counter()
         for i0 in range(0, SWEEP_N, KB):
             # the warm-start chain is a device-to-device dependency:
             # blocks still ENQUEUE without host sync, so dispatch stays
             # pipelined; only the final block_until_ready fetches.
-            re_, im_, dens = block_jit(jnp.asarray(ksweep[i0 : i0 + KB]), dens)
+            re_, im_, dens, its = block_jit(
+                jnp.asarray(ksweep[i0 : i0 + KB]), dens
+            )
             outs.append((re_, im_))
+            iters_l.append(its)
         for re_, im_ in outs:
             re_.block_until_ready()
             im_.block_until_ready()
@@ -203,10 +210,11 @@ def main():
         vals = np.concatenate(
             [np.asarray(re_) + 1j * np.asarray(im_) for re_, im_ in outs]
         )
-        return dt / SWEEP_N, vals
+        iters_mean = float(np.mean([int(i) for i in iters_l]))
+        return dt / SWEEP_N, vals, iters_mean
 
-    per_k_sweep, vals1 = run_sweep()
-    _, vals2 = run_sweep()
+    per_k_sweep, vals1, iters_mean = run_sweep()
+    _, vals2, _ = run_sweep()
     bitwise_stable = bool(
         np.array_equal(vals1.view(np.float32), vals2.view(np.float32))
     )
@@ -241,6 +249,49 @@ def main():
         dt_best = min(dt_best, time.perf_counter() - t0)
     pts_per_s = EVAL_POINTS / dt_best
 
+    # ---- utilization model (VERDICT r3 next-3): analytic FLOPs/bytes of
+    # the measured work against chip peaks, so the speedup ratios below
+    # can be sanity-checked against hardware limits.  Conventions: 1
+    # complex MAC = 8 real flops (algorithmic count — the Karatsuba
+    # 3-mult split changes the mult/add mix, not the model); peaks are
+    # TPU v5e single chip (override via BHS_PEAK_FLOPS / BHS_PEAK_BW).
+    peak_flops = float(os.environ.get("BHS_PEAK_FLOPS", 197e12))  # bf16 MXU
+    peak_bw = float(os.environ.get("BHS_PEAK_BW", 819e9))  # HBM B/s
+    from biem_helmholtz_sphere_tpu.biem._core import _pair_routing
+
+    uniq, _, _, p_max = _pair_routing(centers.astype(np.float64))
+    no = len(uniq)
+    h = h_num  # 1024 at n_end=32, d=3
+    n_sys = nb * h
+    # per-k-point solve flops:
+    #   build: per unique offset, rotation+coaxial = 2 complex [H, H] @
+    #     [H, H] matmuls (translation/_rotation.py:302-303)
+    #   matvec x iters: the unique-offset lane contraction
+    #     [NO, H, H] x [NO, 2P, H] (biem/_core.py::_matfree_operator)
+    #     + routing one-hots + CGS2 ortho (small at restart 48)
+    build_flops = no * 2 * 8 * h**3
+    matvec_flops = 8 * no * 2 * p_max * h * h + 2 * 8 * (2 * no * p_max) * 2 * nb * h
+    ortho_flops = 4 * 8 * 49 * n_sys  # 2 CGS2 passes x (dot + axpy), m = 48
+    solve_flops = build_flops + iters_mean * (matvec_flops + ortho_flops)
+    # per-k-point solve bytes: the matvec re-reads the (S|R) tables from
+    # HBM every iteration (2 real f32 halves); the build writes them once.
+    table_bytes = 2 * 4 * no * h * h
+    solve_bytes = (1 + iters_mean) * table_bytes
+    solve_mfu = solve_flops / per_k_sweep / peak_flops
+    solve_hbm = solve_bytes / per_k_sweep / peak_bw
+    # eval: per point, per ball — M = 2n-1 order slots x n degree steps
+    # of the fused Jacobi recurrence (~14 flops: 3-term update + C
+    # contribution accumulate), the radial h_l(kr) upward recurrence
+    # (~12 flops/degree), and the M-slot epilogue (azimuthal phase +
+    # sin^|m| + reduce, ~10); bytes = the [B, n] C radial table written
+    # + re-read once (the recurrence carries themselves are the
+    # VMEM-residency question the m-blocked variant targets).
+    m_slots = 2 * N_END - 1
+    eval_flops_pt = nb * (m_slots * N_END * 14 + N_END * 12 + m_slots * 10)
+    eval_bytes_pt = 2 * nb * N_END * 8
+    eval_mfu = eval_flops_pt * pts_per_s / peak_flops
+    eval_hbm = eval_bytes_pt * pts_per_s / peak_bw
+
     baseline, kind = _log_seconds(
         "baseline_32.log",
         r"n_end=32 B=16: total ([0-9.]+)s",
@@ -265,6 +316,12 @@ def main():
         "sweep_bitwise_stable": bitwise_stable,
         "baseline_kind": kind,
         "eval_pts_per_s": round(pts_per_s, 1),
+        # utilization (modeled flops/bytes vs v5e peaks; see comments)
+        "mfu": round(solve_mfu, 4),
+        "hbm_util": round(solve_hbm, 4),
+        "gmres_iters_per_k": round(iters_mean, 1),
+        "eval_mfu": round(eval_mfu, 4),
+        "eval_hbm_util": round(eval_hbm, 4),
     }
     if jax_cpu is not None:
         out["vs_jax_cpu"] = round(jax_cpu / per_k_sweep, 1)

@@ -27,8 +27,6 @@ per-frequency matvec stays in the real-pair representation using the
 one-pass stacked-RHS trick of ops.cplx.matvec.
 """
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -38,10 +36,6 @@ from ..ops import cplx
 from ..ops.cplx import C
 from ..translation import translation_matrix
 from ._core import _radial_rows, _radial_rows_scaled
-
-# memory gate for the auto-enabled block-circulant preconditioner: the
-# stored per-frequency inverse is F * H^2 complex entries (F = 4B)
-_PRECOND_MAX_BYTES = 4e9
 
 
 def lattice_routing(centers_np):
@@ -98,7 +92,9 @@ def lattice_routing(centers_np):
     return axes, spacings, tuple(shape), cell2ball, flat
 
 
-def _build_kernel_fft(c, n_end, routing, k, method, rdt, row_col_exps=None):
+def _build_kernel_fft(
+    c, n_end, routing, k, method, rdt, row_col_exps=None, part=None
+):
     """FFT of the block-convolution kernel: C [..., Fx, Fy, H, H].
 
     row_col_exps=(e_r0, e_b0) ([..., H] each) switches to the
@@ -106,6 +102,16 @@ def _build_kernel_fft(c, n_end, routing, k, method, rdt, row_col_exps=None):
     the ball-independent row/column radial exponents folded in, so the
     kernel is finite in f32 past the h_n(k t_min) overflow wall (same
     folding as _core._matfree_operator / stable dense assembly).
+
+    part: optional dict of sharding-constraint hooks (multi-chip;
+    parallel.sharded_solve lattice=True): 'off' pins the per-offset
+    (S|R) table's offset axis, 'fx'/'fy' pin the frequency-grid axes.
+    The table and the kernel are the SAME order of bytes (4L^2 offsets
+    vs 4L^2 frequencies), so per-device memory only drops if the BUILD
+    is partitioned too; the FFT then runs as a pencil decomposition
+    (fft over Fy while sharded on Fx, reshard, fft over Fx while
+    sharded on Fy) with one table-sized all-to-all each — one-time
+    build cost, not per iteration.
     """
     axes, (sx, sy), (lx, ly), _, _ = routing
     d = c.c_ndim
@@ -152,6 +158,8 @@ def _build_kernel_fft(c, n_end, routing, k, method, rdt, row_col_exps=None):
         sr_half = translation_matrix(
             c, t_dev, n_end, k[..., None], kind="SR", method=method
         ).astype(rdt)  # C [..., NOh, H, H]
+    if part is not None:
+        sr_half = part["off"](sr_half)
     pm = jnp.asarray(
         (-1.0) ** (b_.n_root.astype(np.int64) % 2), dtype=rdt
     )
@@ -168,111 +176,56 @@ def _build_kernel_fft(c, n_end, routing, k, method, rdt, row_col_exps=None):
     cat = cplx.concatenate([sr_half, sr_mirror, zero], axis=-3)
     kc = cplx.take(cat, jnp.asarray(gmap), axis=-3)  # [..., Fx*Fy, H, H]
     kc = kc.reshape(kc.shape[:-3] + (fx, fy, h_num, h_num))
-    khat = jnp.fft.fftn(jax.lax.complex(kc.re, kc.im), axes=(-4, -3))
-    return C(khat.real, khat.imag)
+    if part is None:
+        khat = jnp.fft.fftn(jax.lax.complex(kc.re, kc.im), axes=(-4, -3))
+        return C(khat.real, khat.imag)
+    # Sharded build: explicit DFT matmuls with pencil resharding —
+    # einsum + sharding constraints only (XLA's SPMD partitioner
+    # hard-aborts on FFT ops with sharded operands, observed on the CPU
+    # backend round 4).  Each stage contracts a LOCALLY-unsharded cell
+    # axis; the two all-to-alls move table-sized data once at build.
+    def dft(npts):
+        jk = np.arange(npts)
+        w = np.exp(-2j * np.pi * np.outer(jk, jk) / npts)
+        return C(jnp.asarray(w.real, rdt), jnp.asarray(w.imag, rdt))
 
-
-def _circulant_precond(khat, diag, reg_row, blc_col, routing, rdt):
-    r"""Block-circulant (Strang-type) preconditioner M^{-1} for the
-    lattice system.
-
-    The system is A = D + Reg . Conv_K . Blc on the Lx x Ly cell grid —
-    a block-Toeplitz-block operator (finite lattice).  Its PERIODIC
-    Lx x Ly analogue is block-circulant: the natural (Strang) circulant
-    whose first block column aliases all kernel offsets mod L.  Its
-    symbol needs no new translation work — on the L grid,
-
-        C^[f] = khat[2 f]                (even-subsampled padded FFT)
-
-    because the 2L-grid DFT at even frequencies is exactly the mod-L
-    aliased sum.  Per frequency,
-
-        M^[f] = diag(d0) + diag(r0) C^[f] diag(b0)      (H x H complex)
-
-    with d0/r0/b0 the (ball-independent, uniform-radii) per-harmonic
-    diagonal/row/column factors.  M^{-1} is precomputed as explicit
-    per-frequency inverses via the real block embedding (TPU LU/inv is
-    real-only); applying it is FFT on the L grid (no padding) ->
-    [H,H]@[H] -> IFFT — cheaper than one matvec.  M is exactly the
-    infinite-periodic-array solve, so GMRES only has to correct the
-    lattice-boundary truncation; on large lattices this collapses the
-    restarted-GMRES stagnation that blocked the 4096-sphere f64
-    accuracy rows (VERDICT r3 missing 2; measurements in
-    BENCH_NOTES.md round 4).
-
-    Non-uniform radii use the ball-MEAN of the per-ball factors (the
-    preconditioner only needs to be spectrally close).
-    """
-    _, _, (lx, ly), cell2ball, ball2cell = routing
-    h_num = khat.shape[-1]
-    n_balls = lx * ly
-
-    def ball_mean(v):  # C [..., B, H] -> C [..., H]
-        return v.sum(axis=-2) / n_balls
-
-    d0 = ball_mean(diag)
-    r0 = ball_mean(reg_row)
-    b0 = ball_mean(blc_col)
-    chat = khat[..., ::2, ::2, :, :]  # C [..., Lx, Ly, H, H]
-    mhat = chat * (
-        r0[..., None, None, :, None] * b0[..., None, None, None, :]
-    )
-    ih = jnp.arange(h_num)
-    mhat = mhat.at_add(
-        (Ellipsis, ih, ih),
-        cplx.broadcast_to(
-            d0[..., None, None, :], mhat.shape[:-2] + (h_num,)
-        ),
-    )
-    # complex inverse through the real block embedding [[A,-B],[B,A]]
-    top = jnp.concatenate([mhat.re, -mhat.im], axis=-1)
-    bot = jnp.concatenate([mhat.im, mhat.re], axis=-1)
-    emb = jnp.concatenate([top, bot], axis=-2)
-    inv = jnp.linalg.inv(emb)
-    minv = C(inv[..., :h_num, :h_num], inv[..., h_num:, :h_num])
-    minv = jax.lax.optimization_barrier(minv)
-    c2b = jnp.asarray(cell2ball)
-    b2c = jnp.asarray(ball2cell)
-
-    def pre(r_flat):
-        r = r_flat.reshape(r_flat.shape[:-1] + (n_balls, h_num))
-        rl = cplx.take(r, c2b, axis=-2).reshape(
-            r.shape[:-2] + (lx, ly, h_num)
-        )
-        rhat = jnp.fft.fftn(jax.lax.complex(rl.re, rl.im), axes=(-3, -2))
-        rs = jnp.stack(jnp.broadcast_arrays(rhat.real, rhat.imag), axis=-1)
-        p = jnp.einsum("...hg,...gc->...hc", minv.re, rs)
-        q = jnp.einsum("...hg,...gc->...hc", minv.im, rs)
-        yhat = jax.lax.complex(p[..., 0] - q[..., 1], p[..., 1] + q[..., 0])
-        y = jnp.fft.ifftn(yhat, axes=(-3, -2))
-        yl = C(y.real.astype(rdt), y.imag.astype(rdt))
-        yl = yl.reshape(yl.shape[:-3] + (lx * ly, h_num))
-        out = cplx.take(yl, b2c, axis=-2)
-        return out.reshape(out.shape[:-2] + (n_balls * h_num,))
-
-    return pre
+    kc = part["fx"](kc)  # sharded on the Fx cell axis
+    k1 = cplx.einsum("yb,...abhg->...ayhg", dft(fy), kc)  # local (b axis)
+    k1 = part["fy"](k1)  # all-to-all: now sharded on the Fy axis
+    khat = cplx.einsum("xa,...ayhg->...xyhg", dft(fx), k1)  # local (a axis)
+    return part["fy"](khat)
 
 
 def lattice_operator(
     c, n_end, centers_np, radii, k, eta, alpha, beta, method, stable=False,
-    precond=None,
+    part=None,
 ):
     """(mv, diag, pre) for a lattice geometry, or None if not a lattice.
 
     mv maps C [..., B*H] -> C [..., B*H] applying the full system
     matrix (same contract as _core._matfree_operator); diag is its
-    diagonal; pre is the block-circulant preconditioner M^{-1}
-    (_circulant_precond) or None.
+    diagonal.
     stable=True builds the convolution kernel scale-compensated with the
     ball-maximum row/column exponents folded in (per-ball deficits ride
     the row/column factors — same folding as _core._matfree_operator,
     exact for uniform radii) — see _build_kernel_fft.
-    precond: True/False force the circulant preconditioner on/off; None
-    auto-enables it for lattices of >= 256 spheres whose per-frequency
-    inverse fits _PRECOND_MAX_BYTES (it costs ~1 extra matvec per
-    iteration and a one-time [F, 2H, 2H] batched inverse, and pays off
-    where plain Jacobi-GMRES needs hundreds of iterations or
-    stagnates).  Env override BHS_LATTICE_PRECOND=0/1.
+    part: optional sharding-hook dict (see _build_kernel_fft) — the
+    multi-chip path (parallel.sharded_solve lattice=True) partitions
+    the per-offset table build, the kernel FFT (pencil decomposition),
+    and the stored kernel over the mesh; the per-frequency matvec
+    contraction then runs on local kernel shards with only the small
+    [.., Fx, Fy, H] vector field crossing devices.
+    pre is always None today: a block-circulant (Strang) preconditioner
+    was built and MEASURED COUNTERPRODUCTIVE in round 4 — 2D lattice,
+    k=1, f64 tol 1e-13: 64 balls 150 vs 136 Jacobi iterations, 256
+    balls 2459 vs 454 — because the Hankel kernel decays too slowly
+    (~r^-1/2) for circulant aliasing to be benign: wrapped offsets add
+    neighbor-strength spurious couplings (per-frequency symbols were
+    measured well-conditioned, smin >= 0.13, so it is approximation
+    error, not resonance; tools/precond_probe.py, BENCH_NOTES.md).
+    What DOES work at scale is long-basis (non-restarted) GMRES +
+    warm-start continuation (tools/nballs_family4.py).  The precond
+    hook (ops.cplx.gmres_solve_op) stays for future preconditioners.
     """
     routing = lattice_routing(centers_np)
     if routing is None:
@@ -300,7 +253,8 @@ def lattice_operator(
         row_col_exps = None
     rdt = blc_col.dtype
     khat = _build_kernel_fft(
-        c, n_end, routing, k, method, rdt, row_col_exps=row_col_exps
+        c, n_end, routing, k, method, rdt, row_col_exps=row_col_exps,
+        part=part,
     )
     khat, blc_s, reg_s, diag = jax.lax.optimization_barrier(
         (khat, blc_col, reg_row, diag)
@@ -319,6 +273,12 @@ def lattice_operator(
         pad = [(0, 0)] * (zl.ndim - 3) + [(0, fx - lx), (0, fy - ly), (0, 0)]
         zp = C(jnp.pad(zl.re, pad), jnp.pad(zl.im, pad))
         zhat = jnp.fft.fftn(jax.lax.complex(zp.re, zp.im), axes=(-3, -2))
+        if part is not None:
+            # pin the forward-transformed vector field replicated so the
+            # kernel's frequency sharding cannot propagate BACKWARD into
+            # the fftn (the SPMD FFT handler check-fails on sharded
+            # operands); the einsum below then partitions by khat alone
+            zhat = part["repl"](zhat)
         # per-frequency [H, H] @ [H] with one streaming pass over each
         # real half of khat (stacked-RHS trick, see ops.cplx.matvec)
         zs = jnp.stack(
@@ -327,6 +287,12 @@ def lattice_operator(
         p = jnp.einsum("...hg,...gc->...hc", khat.re, zs)
         q = jnp.einsum("...hg,...gc->...hc", khat.im, zs)
         yhat = jax.lax.complex(p[..., 0] - q[..., 1], p[..., 1] + q[..., 0])
+        if part is not None:
+            # multi-chip: yhat inherits the kernel's frequency sharding;
+            # gather the SMALL [.., Fx, Fy, H] vector field back to
+            # replicated before the cell-axis inverse FFT (the SPMD
+            # partitioner cannot handle FFTs over sharded operands)
+            yhat = part["repl"](yhat)
         y = jnp.fft.ifftn(yhat, axes=(-3, -2))[..., :lx, :ly, :]
         yl = C(y.real.astype(rdt), y.imag.astype(rdt))
         yl = yl.reshape(yl.shape[:-3] + (lx * ly, h_num))
@@ -339,16 +305,4 @@ def lattice_operator(
         batch + (n_balls * h_num,)
     )
 
-    env = os.environ.get("BHS_LATTICE_PRECOND")
-    if env is not None:
-        precond = env == "1"
-    if precond is None:
-        # the embedding inverse is [B, 2H, 2H] real (B = Lx*Ly frequencies)
-        emb_bytes = 4.0 * n_balls * h_num * h_num * jnp.finfo(rdt).bits / 8
-        precond = n_balls >= 256 and emb_bytes <= _PRECOND_MAX_BYTES
-    pre = (
-        _circulant_precond(khat, diag, reg_s, blc_s, routing, rdt)
-        if precond
-        else None
-    )
-    return mv, diag_flat, pre
+    return mv, diag_flat, None

@@ -128,6 +128,7 @@ def sharded_solve(
     axis_name="rows",
     tol=None,
     matfree=False,
+    lattice=False,
     _return_fn=False,
 ):
     """Solve ONE BIEM system with the dense matrix row-sharded.
@@ -149,6 +150,21 @@ def sharded_solve(
     XLA.  This is the beyond-HBM path when even one row-shard of the
     dense matrix is too large (memory then scales as NO·H²/n_devices,
     not B²H²/n_devices).  Requires concrete (host) geometry.
+
+    lattice=True (implies matfree) uses the lattice-FFT operator
+    (biem._lattice) with BOTH the per-offset (S|R) table build (offset
+    axis) and the stored [Fx, Fy, H, H] kernel FFT (frequency axis)
+    sharded over the mesh — the two are the same order of bytes, so
+    sharding only the kernel would leave a replicated build-sized peak.
+    The kernel FFT runs as a pencil decomposition (each stage
+    transforms a locally-unsharded axis; one table-sized all-to-all per
+    stage, one-time build cost).  Per iteration the per-frequency
+    [H, H] @ [H] contraction runs on local kernel shards; only the
+    small [.., Fx, Fy, H] vector field crosses devices (cell-axis
+    FFTs).  Per-device kernel memory is F·H²/n_devices.  This is the
+    multi-chip form of the B >= 64 lattice solver (round 4; VERDICT r3
+    next-5).  Geometry must be a uniform lattice (lattice_routing), as
+    in the reference CLI's n_balls sweeps.
 
     Returns the solved density [B, H] (replicated).
     """
@@ -197,7 +213,44 @@ def sharded_solve(
         )
         b_, h_ = f.shape[-2:]
         n = b_ * h_
-        if matfree:
+        if lattice:
+            from ..biem._lattice import lattice_operator
+
+            def pin(axis_from_end):
+                def f(z):
+                    nd = z.re.ndim
+                    names = [None] * nd
+                    names[nd - axis_from_end] = axis_name
+                    spec = NamedSharding(mesh, P(*names))
+                    return C(
+                        with_sharding_constraint(z.re, spec),
+                        with_sharding_constraint(z.im, spec),
+                    )
+
+                return f
+
+            # 'off': [.., NOh, H, H] offset axis; 'fx'/'fy': the
+            # [.., Fx, Fy, H, H] frequency-grid axes (pencil DFT);
+            # 'repl': gather a native complex array to replicated
+            part = {
+                "off": pin(3),
+                "fx": pin(4),
+                "fy": pin(3),
+                "repl": lambda a: with_sharding_constraint(
+                    a, NamedSharding(mesh, P())
+                ),
+            }
+            op = lattice_operator(
+                c, n_end, centers_np, radii_c, k_c, eta_c, alpha_c,
+                beta_c, None, part=part,
+            )
+            if op is None:
+                raise ValueError(
+                    "lattice=True requires a uniform-lattice geometry"
+                )
+            mv, diag, _ = op
+            x = cplx.gmres_solve_op(mv, diag, f.reshape((n,)), tol=tol)
+        elif matfree:
             def sr_map(sr):
                 return C(
                     with_sharding_constraint(sr.re, offs),

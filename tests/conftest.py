@@ -75,6 +75,9 @@ _SLOW_NODEID_PREFIXES = (
     "test_translation.py::test_translation_addition_theorem[caa",
     "test_translation.py::test_gumerov_coaxial_matches_quadrature",
     "test_parallel.py::test_sharded_solve_matfree_matches_dense",
+    # round 4: two compile-heavy compiles (8-dev + 1-dev) of the
+    # lattice=True sharded solve — ~2 min
+    "test_parallel.py::test_sharded_lattice_kernel_memory_and_value",
     # round-3 retier (VERDICT r2 weak 4: smoke tier measured 6:16 vs the
     # <5 min promise) — the four heaviest smoke tests move here; each
     # subsystem they cover keeps a cheaper smoke-tier representative

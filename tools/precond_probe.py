@@ -1,10 +1,17 @@
-"""Circulant-preconditioner A/B on 2D lattices (round 4).
-
-Measures GMRES iterations + wall time + solution agreement for the
-lattice-FFT operator with Jacobi vs block-circulant preconditioning at
-f64 artifact tolerances — the 256-sphere case is the BENCH_NOTES
-restarted-GMRES stagnation row; 1024/4096 are the missing accuracy
-family depths.
+"""Circulant-preconditioner A/B on 2D lattices (round 4) — RESULT:
+RETIRED.  Measured (f64, k=1, tol 1e-13, long basis):
+  64 balls:  Jacobi 136 iters | padded-embedding circulant 156 |
+             Strang circulant 150
+  256 balls: Jacobi 454 iters (45 s, restart 512, NO stagnation) |
+             Strang circulant 2459 (424 s)
+Per-frequency symbols are well-conditioned (smin >= 0.13), so the
+failure is approximation error: the 2D Hankel kernel decays ~r^-1/2,
+too slowly for circulant aliasing — wrapped offsets inject
+neighbor-strength spurious couplings.  The production answer is
+long-basis GMRES + warm-start continuation (tools/nballs_family4.py).
+The script now measures the Jacobi (production) path only; the
+circulant builder was deleted from _lattice.py (round-3 lesson: dead
+losing kernels get retired, not env-gated).
 """
 import os, sys, time
 import jax
@@ -36,10 +43,10 @@ f = _rhs_dispatch(c, n_end, cen, rad, al, be, uin, None, 0)
 n = nb * (2 * n_end - 1)
 f2 = f.reshape((n,))
 
-for use_pre in (False, True):
+for use_pre in (False,):
     t0 = time.perf_counter()
     mv, diag, pre = lattice_operator(c, n_end, centers, rad, kc, eta, al, be,
-                                     None, stable=False, precond=use_pre)
+                                     None, stable=False)
     x, rr, it = cplx.gmres_solve_op(
         mv, diag, f2, tol=tol, restart=restart, maxiter=20,
         with_info=True, precond=pre,
