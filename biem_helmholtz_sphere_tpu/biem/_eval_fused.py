@@ -256,7 +256,14 @@ def _fused_ba_dot_blocked(c, n_end, w, theta, phi, rad=None, mbs=16):
     # indices would turn the sin^|m| lookup into a dynamic gather and
     # the per-step coefficients into scan xs — measured 45x SLOWER
     # (4.4e4 pts/s) than this python-unrolled form on the axon backend.
-    A_p, B_p, B1_p = padm(A_lm), padm(B_lm), padm(B1_lm, 1.0)
+    A_p = padm(A_lm)
+    # reciprocal-multiply tables: a per-element DIVISION in the scan
+    # body runs ~10x slower than multiply on the VPU and was the
+    # dominant cost of the fused body (round-4 probe: 1.99e6 pts/s with
+    # div for both variants)
+    inv_b1 = 1.0 / padm(B1_lm, 1.0)
+    BinvB1_p = padm(B_lm) * inv_b1
+    invB1_p = inv_b1
     seed_p = padm(seed_lm.astype(np.float64)) != 0.0
     p0_p = padm(p0_m)
     maxis_p = padm(m_axis.astype(np.float64))
@@ -291,8 +298,8 @@ def _fused_ba_dot_blocked(c, n_end, w, theta, phi, rad=None, mbs=16):
     for blk in range(nblk):
         sl = slice(blk * mbs, (blk + 1) * mbs)
         a_f = jnp.asarray(A_p[:, sl], rdt)  # [n, MBS]
-        b_f = jnp.asarray(B_p[:, sl], rdt)
-        b1_f = jnp.asarray(B1_p[:, sl], rdt)
+        b_f = jnp.asarray(BinvB1_p[:, sl], rdt)
+        b1_f = jnp.asarray(invB1_p[:, sl], rdt)
         sd_f = jnp.asarray(seed_p[:, sl])
         p0_f = jnp.asarray(p0_p[sl], rdt)  # [MBS]
         w2_f = w2_steps[..., sl]  # [n, ..., B, MBS]
@@ -300,8 +307,8 @@ def _fused_ba_dot_blocked(c, n_end, w, theta, phi, rad=None, mbs=16):
 
         def step(carry, xs, p0_f=p0_f):
             pm, pn, accb = carry
-            a_l, b_l, b1_l, sd_l, w2_l = xs[:5]
-            pp = ((x_ - a_l) * pn - b_l * pm) / b1_l
+            a_l, binvb1_l, invb1_l, sd_l, w2_l = xs[:5]
+            pp = (x_ - a_l) * pn * invb1_l - binvb1_l * pm
             pp = jnp.where(sd_l, p0_f, pp)
             contrib = w2_l * pp
             if rad is not None:
@@ -320,6 +327,138 @@ def _fused_ba_dot_blocked(c, n_end, w, theta, phi, rad=None, mbs=16):
     return acc * (1.0 / np.sqrt(2.0 * np.pi))
 
 
+def _fused_ba_dot_half(c, n_end, w, theta, phi, rad=None, mbs=None):
+    r"""|m|-FAMILY fused contraction (round 4): the +m and -m slots of
+    fused_ba_dot run IDENTICAL (|m|, |m|) Jacobi recurrences, so the
+    recurrence lanes can be HALVED — F = n_end family slots instead of
+    M = 2n-1 signed slots — with the signed-order azimuthal factors
+    recovered in the epilogue from two accumulators:
+
+        u = sum_f (sin th)^f [ acc_c[f] cos(f ph) + i acc_d[f] sin(f ph) ]
+        acc_c[f] = sum_l (w[+f,l] + w[-f,l]) p_{l,f} rad_l
+        acc_d[f] = sum_l (w[+f,l] - w[-f,l]) p_{l,f} rad_l
+
+    (e^{i f ph} + e^{-i f ph} = 2 cos, difference = 2i sin; the 2 is
+    folded into the host-side w2c/w2d tables; f = 0 uses w once with
+    w2d = 0).  Per slot-step the body costs recurrence (4 FMA) + seed
+    select + s = p*rad (2) + two C accumulations (4 FMA each) ~= 16 ops
+    on n slots, vs ~12 ops on 2n-1 slots unblocked — ~1.5x fewer VPU
+    ops, which is the binding resource (round-4 probes: throughput was
+    unchanged by 3x traffic reduction (m-blocking) and by removing the
+    in-body division, so the scan is op-throughput-bound).  Far-field
+    (rad=None) drops the s multiply and the accumulators are C x real
+    — ~3x fewer ops.
+
+    mbs: optional |m|-block size (python-unrolled outer blocks as in
+    _fused_ba_dot_blocked); None = single block over all F slots.
+    """
+    m_axis, m_abs, hmap, valid, A_lm, B_lm, B1_lm, seed_lm, p0_m = (
+        _fused_tables(c, n_end)
+    )
+    n = n_end
+    rdt = jnp.result_type(theta.dtype, jnp.float32)
+    w = C.of(w).astype(rdt)
+    if rad is not None:
+        rad = rad.astype(rdt)
+    mbs = mbs or n
+    nblk = -(-n // mbs)
+    fp = nblk * mbs
+    pad = fp - n
+
+    def padf(a, val=0.0):
+        return np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)],
+                      constant_values=val)
+
+    # family tables = the m >= 0 columns of the slot tables
+    sel_p = n - 1 + np.arange(n)  # slot index of +f
+    sel_m = n - 1 - np.arange(n)  # slot index of -f
+    A_f = padf(A_lm[:, sel_p])
+    invB1_f = padf(1.0 / B1_lm[:, sel_p], 1.0)
+    BinvB1_f = padf(B_lm[:, sel_p] / B1_lm[:, sel_p])
+    seed_f = padf(seed_lm[:, sel_p].astype(np.float64)) != 0.0
+    p0_f_t = padf(p0_m[sel_p])
+    f_axis = padf(np.arange(n, dtype=np.float64))
+
+    # density weights per (family, degree): w2c = w[+f] + w[-f],
+    # w2d = w[+f] - w[-f]; f = 0 keeps w[0] once with w2d = 0
+    w2p = cplx.take(w, jnp.asarray(np.maximum(hmap[sel_p], 0)), axis=-1)
+    w2p = w2p * jnp.asarray(valid[sel_p], dtype=rdt)  # [..., B, F, n]
+    vm = valid[sel_m].copy()
+    vm[0] = False
+    w2m = cplx.take(w, jnp.asarray(np.maximum(hmap[sel_m], 0)), axis=-1)
+    w2m = w2m * jnp.asarray(vm, dtype=rdt)
+    w2c = w2p + w2m
+    w2d = w2p - w2m
+    zsh = w2c.shape[:-2] + (pad, n)
+    w2c = cplx.concatenate([w2c, C.zeros(zsh, dtype=rdt)], axis=-2)
+    w2d = cplx.concatenate([w2d, C.zeros(zsh, dtype=rdt)], axis=-2)
+    w2c_steps = cplx.moveaxis(w2c, -1, 0)  # [n(l), ..., B, FP]
+    w2d_steps = cplx.moveaxis(w2d, -1, 0)
+
+    ct = jnp.cos(theta)
+    x_ = ct[..., None].astype(rdt)  # [..., B, 1(F)]
+    st = jnp.sin(theta).astype(rdt)
+    st_pows = _int_powers(st, n - 1)  # [..., B, n] — exactly sin^f
+    phi_e = phi[..., None].astype(rdt)
+
+    rad_steps = None
+    if rad is not None:
+        rad_steps = cplx.moveaxis(rad[..., :n], -1, 0)  # [n, ..., B]
+
+    batch = jnp.broadcast_shapes(
+        w.re.shape[:-1],
+        theta.shape,
+        () if rad is None else rad.re.shape[:-1],
+    )
+    pn0 = jnp.zeros(x_.shape[:-1] + (mbs,), rdt)
+    unroll = _UNROLL_OVERRIDE or min(n, 64)
+    out = C.zeros(batch, dtype=rdt)
+
+    for blk in range(nblk):
+        sl = slice(blk * mbs, (blk + 1) * mbs)
+        a_t = jnp.asarray(A_f[:, sl], rdt)
+        ib1_t = jnp.asarray(invB1_f[:, sl], rdt)
+        bib1_t = jnp.asarray(BinvB1_f[:, sl], rdt)
+        sd_t = jnp.asarray(seed_f[:, sl])
+        p0_t = jnp.asarray(p0_f_t[sl], rdt)
+        wc_t = w2c_steps[..., sl]
+        wd_t = w2d_steps[..., sl]
+        acc0 = C.zeros(batch + (mbs,), dtype=rdt)
+
+        def step(carry, xs, p0_t=p0_t):
+            pm, pn, ac, ad = carry
+            a_l, ib1_l, bib1_l, sd_l, wc_l, wd_l = xs[:6]
+            pp = (x_ - a_l) * pn * ib1_l - bib1_l * pm
+            pp = jnp.where(sd_l, p0_t, pp)
+            if rad is not None:
+                s = xs[6][..., None] * pp  # C [..., B, F]
+                ac = ac + wc_l * s
+                ad = ad + wd_l * s
+            else:
+                ac = ac + wc_l * pp
+                ad = ad + wd_l * pp
+            return (pn, pp, ac, ad), None
+
+        xs = (a_t, ib1_t, bib1_t, sd_t, wc_t, wd_t)
+        if rad is not None:
+            xs = xs + (rad_steps,)
+        (_, _, ac, ad), _ = jax.lax.scan(
+            step, (pn0, pn0, acc0, acc0), xs, unroll=unroll
+        )
+        fblk = jnp.asarray(f_axis[sl], rdt)
+        cosf = jnp.cos(phi_e * fblk)
+        sinf = jnp.sin(phi_e * fblk)
+        stpow = st_pows[..., blk * mbs : blk * mbs + mbs] if (
+            blk * mbs + mbs <= n
+        ) else jnp.pad(
+            st_pows[..., blk * mbs :],
+            [(0, 0)] * (st_pows.ndim - 1) + [(0, blk * mbs + mbs - n)],
+        )
+        term = ac * cosf + C(-ad.im, ad.re) * sinf
+        out = out + (term * stpow).sum(axis=-1)
+    return out * (1.0 / np.sqrt(2.0 * np.pi))
+
+
 def fused_ba_dot(c, n_end, w, theta, phi, rad=None):
     """sum_h w[..., B, H] rad[..., B, :]_(l_h) Y_h(theta, phi) -> C [..., B].
 
@@ -328,6 +467,11 @@ def fused_ba_dot(c, n_end, w, theta, phi, rad=None):
     rad: C [..., B, L>=n_end] per-point radial table indexed by degree,
     or None (factor 1).
     """
+    if _os.environ.get("BHS_EVAL_HALF", "0") == "1":  # trace-time A/B gate
+        mbs_env = int(_os.environ.get("BHS_EVAL_MBS", "0"))
+        return _fused_ba_dot_half(
+            c, n_end, w, theta, phi, rad=rad, mbs=mbs_env or None
+        )
     if _os.environ.get("BHS_EVAL_BLOCKED", "0") == "1":  # trace-time A/B gate
         return _fused_ba_dot_blocked(
             c, n_end, w, theta, phi, rad=rad,
@@ -359,8 +503,9 @@ def fused_ba_dot(c, n_end, w, theta, phi, rad=None):
     ct = jnp.cos(theta)
 
     a_l = jnp.asarray(A_lm, rdt)  # [n(l), M]
-    b_l = jnp.asarray(B_lm, rdt)
-    b1_l = jnp.asarray(B1_lm, rdt)
+    # reciprocal-multiply: the in-body division dominated VPU cost
+    b_l = jnp.asarray(B_lm / B1_lm, rdt)
+    b1_l = jnp.asarray(1.0 / B1_lm, rdt)
     seed_l = jnp.asarray(seed_lm)  # bool [n(l), M]
     p0v = jnp.asarray(p0_m, rdt)  # [M]
     w2_steps = cplx.moveaxis(w2, -1, 0)  # [n(l), ..., B, M]
@@ -386,7 +531,8 @@ def fused_ba_dot(c, n_end, w, theta, phi, rad=None):
         a_f, b_f, b1_f, sd, w2_l = xs[:5]
         # slot m's (|m|, |m|) recurrence advanced to degree l; zeros
         # propagate below the seed row, p0 injected at l == |m|
-        pp = ((x_ - a_f) * pn - b_f * pm) / b1_f
+        # (b_f = B/B1 and b1_f = 1/B1 are reciprocal-multiply tables)
+        pp = (x_ - a_f) * pn * b1_f - b_f * pm
         pp = jnp.where(sd, p0v, pp)
         contrib = w2_l * pp
         if rad is not None:

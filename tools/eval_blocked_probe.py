@@ -47,9 +47,16 @@ x = jnp.asarray(x_np)
 
 for cfg in configs:
     parts = cfg.split(":")
+    os.environ["BHS_EVAL_BLOCKED"] = "0"
+    os.environ["BHS_EVAL_HALF"] = "0"
+    os.environ.pop("BHS_EVAL_MBS", None)
     if parts[0] == "base":
-        os.environ["BHS_EVAL_BLOCKED"] = "0"
         chunk = int(parts[1]); label = f"base chunk={chunk}"
+    elif parts[0] == "half":
+        os.environ["BHS_EVAL_HALF"] = "1"
+        if parts[1] != "0":
+            os.environ["BHS_EVAL_MBS"] = parts[1]
+        chunk = int(parts[2]); label = f"half mbs={parts[1]} chunk={chunk}"
     else:
         os.environ["BHS_EVAL_BLOCKED"] = "1"
         os.environ["BHS_EVAL_MBS"] = parts[1]
