@@ -51,14 +51,7 @@ from ..special._jacobi import jacobi_recurrence
 # unroll factor. jit caches key on the value read at trace time.
 _UNROLL_OVERRIDE = 0
 
-# Pallas fused-eval kernel (ops/pallas_eval.py): "1" routes eligible
-# near-field evals through the VMEM-resident kernel, "0" forces the XLA
-# scan. Read at trace time.
 import os as _os
-
-
-def _use_pallas_eval():
-    return _os.environ.get("BHS_PALLAS_EVAL", "0") == "1"
 
 
 def is_ba_tree(c):
@@ -116,111 +109,6 @@ def _fused_tables(c, n_end):
     seed_lm = lg == fg
     p0_m = 1.0 / b_tab[m_abs, 0]
     return m_axis, m_abs, hmap, valid, A_lm, B_lm, B1_lm, seed_lm, p0_m
-
-
-@lru_cache(maxsize=32)
-def _pallas_tables(c, n_end, mp):
-    """Dense [n, G-free] kernel tables (numpy, trace-time): the fused
-    recurrence tables padded from M = 2n-1 slots to MP lanes, with the
-    division folded into invb1/binvb1 multiplier tables."""
-    m_axis, m_abs, hmap, valid, A_lm, B_lm, B1_lm, seed_lm, p0_m = (
-        _fused_tables(c, n_end)
-    )
-    n = n_end
-    m = len(m_axis)
-    pad = mp - m
-
-    def padm(a, val=0.0):
-        return np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)],
-                      constant_values=val)
-
-    inv_b1 = 1.0 / B1_lm
-    tabs = {
-        "ab": padm(A_lm).astype(np.float32),
-        "binvb1": padm(B_lm * inv_b1).astype(np.float32),
-        "invb1": padm(inv_b1, 1.0).astype(np.float32),
-        "seed": padm(seed_lm.astype(np.float64)).astype(np.float32),
-        "p0": padm(p0_m[None, :]).astype(np.float32),
-        "mflat": padm(m_axis.astype(np.float64)[None, :]).astype(np.float32),
-        "mabs": padm(m_abs.astype(np.float64)[None, :]).astype(np.float32),
-    }
-    return tabs, hmap, valid
-
-
-def _fused_ba_dot_pallas(c, n_end, w, theta, phi, rad, shape):
-    """VMEM-resident kernel path (ops/pallas_eval.py).  shape is the
-    full broadcast [x..., first..., B] result shape; w must carry no
-    point axes (sizes 1 there)."""
-    import jax
-
-    from ..ops.pallas_eval import fused_eval_pallas
-
-    n = n_end
-    m = 2 * n - 1
-    mp = -(-m // 64) * 64
-    tabs, hmap, valid = _pallas_tables(c, n_end, mp)
-
-    nb = shape[-1]
-    w_nopt = w.reshape((-1,) + w.shape[-2:])  # [F, B, H] (x axes are 1)
-    f = w_nopt.shape[0]
-    g = f * nb
-    # regroup density weights -> [G, n, MP]
-    w2 = cplx.take(w_nopt, jnp.asarray(np.maximum(hmap, 0)), axis=-1)
-    w2 = w2 * jnp.asarray(valid, dtype=jnp.float32)  # [F, B, M, n]
-    w2 = cplx.moveaxis(w2, -1, -2).reshape((g, n, m))  # [G, n, M]
-    zpad = C.zeros((g, n, mp - m), dtype=jnp.float32)
-    w2 = cplx.concatenate([w2, zpad], axis=-1)  # [G, n, MP]
-
-    p = int(np.prod(shape[:-1])) // f
-    # ball-leading layouts: [G, P, 1] angles, [G, P, n] radial table
-    theta_f = jnp.broadcast_to(theta, shape).reshape(p, g).T[:, :, None]
-    phi_f = jnp.broadcast_to(phi, shape).reshape(p, g).T[:, :, None]
-    rad_f = cplx.broadcast_to(rad[..., :n], shape + (n,)).reshape(
-        (p, g, n)
-    )
-    rad_f = cplx.moveaxis(rad_f, 1, 0)  # [G, P, n]
-
-    # MEASURED (tools/ptile probe, v5e round 3): 256 is the largest
-    # point tile Mosaic compiles (512+ fail remote compile); 1.12e6
-    # pts/s at the bench config vs the XLA scan's 1.96e6 — the kernel
-    # stays env-gated off by default (BENCH_NOTES.md "Pallas fused-eval
-    # A/B").
-    p_tile = int(_os.environ.get("BHS_PALLAS_PTILE", "0")) or (
-        256 if p % 256 == 0 else 128
-    )
-    p_pad = -(-p // p_tile) * p_tile
-    if p_pad != p:
-        padn = p_pad - p
-        pad3 = ((0, 0), (0, padn), (0, 0))
-        theta_f = jnp.pad(theta_f, pad3)
-        phi_f = jnp.pad(phi_f, pad3)
-        rad_f = C(jnp.pad(rad_f.re, pad3), jnp.pad(rad_f.im, pad3))
-
-    interpret = jax.devices()[0].platform not in ("tpu", "axon")
-
-    outr, outi = fused_eval_pallas(
-        jnp.cos(theta_f).astype(jnp.float32),
-        jnp.sin(theta_f).astype(jnp.float32),
-        phi_f.astype(jnp.float32),
-        rad_f.re.astype(jnp.float32),
-        rad_f.im.astype(jnp.float32),
-        w2.re.astype(jnp.float32),
-        w2.im.astype(jnp.float32),
-        jnp.asarray(tabs["ab"]),
-        jnp.asarray(tabs["binvb1"]),
-        jnp.asarray(tabs["invb1"]),
-        jnp.asarray(tabs["seed"]),
-        jnp.asarray(tabs["p0"]),
-        jnp.asarray(tabs["mflat"]),
-        jnp.asarray(tabs["mabs"]),
-        n=n,
-        g=g,
-        mp=mp,
-        p_tile=p_tile,
-        interpret=interpret,
-    )
-    # [G, P_pad, 1] -> [P, G] -> result shape
-    return C(outr[:, :p, 0].T, outi[:, :p, 0].T).reshape(shape)
 
 
 def _fused_ba_dot_blocked(c, n_end, w, theta, phi, rad=None, mbs=16):
@@ -327,138 +215,6 @@ def _fused_ba_dot_blocked(c, n_end, w, theta, phi, rad=None, mbs=16):
     return acc * (1.0 / np.sqrt(2.0 * np.pi))
 
 
-def _fused_ba_dot_half(c, n_end, w, theta, phi, rad=None, mbs=None):
-    r"""|m|-FAMILY fused contraction (round 4): the +m and -m slots of
-    fused_ba_dot run IDENTICAL (|m|, |m|) Jacobi recurrences, so the
-    recurrence lanes can be HALVED — F = n_end family slots instead of
-    M = 2n-1 signed slots — with the signed-order azimuthal factors
-    recovered in the epilogue from two accumulators:
-
-        u = sum_f (sin th)^f [ acc_c[f] cos(f ph) + i acc_d[f] sin(f ph) ]
-        acc_c[f] = sum_l (w[+f,l] + w[-f,l]) p_{l,f} rad_l
-        acc_d[f] = sum_l (w[+f,l] - w[-f,l]) p_{l,f} rad_l
-
-    (e^{i f ph} + e^{-i f ph} = 2 cos, difference = 2i sin; the 2 is
-    folded into the host-side w2c/w2d tables; f = 0 uses w once with
-    w2d = 0).  Per slot-step the body costs recurrence (4 FMA) + seed
-    select + s = p*rad (2) + two C accumulations (4 FMA each) ~= 16 ops
-    on n slots, vs ~12 ops on 2n-1 slots unblocked — ~1.5x fewer VPU
-    ops, which is the binding resource (round-4 probes: throughput was
-    unchanged by 3x traffic reduction (m-blocking) and by removing the
-    in-body division, so the scan is op-throughput-bound).  Far-field
-    (rad=None) drops the s multiply and the accumulators are C x real
-    — ~3x fewer ops.
-
-    mbs: optional |m|-block size (python-unrolled outer blocks as in
-    _fused_ba_dot_blocked); None = single block over all F slots.
-    """
-    m_axis, m_abs, hmap, valid, A_lm, B_lm, B1_lm, seed_lm, p0_m = (
-        _fused_tables(c, n_end)
-    )
-    n = n_end
-    rdt = jnp.result_type(theta.dtype, jnp.float32)
-    w = C.of(w).astype(rdt)
-    if rad is not None:
-        rad = rad.astype(rdt)
-    mbs = mbs or n
-    nblk = -(-n // mbs)
-    fp = nblk * mbs
-    pad = fp - n
-
-    def padf(a, val=0.0):
-        return np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)],
-                      constant_values=val)
-
-    # family tables = the m >= 0 columns of the slot tables
-    sel_p = n - 1 + np.arange(n)  # slot index of +f
-    sel_m = n - 1 - np.arange(n)  # slot index of -f
-    A_f = padf(A_lm[:, sel_p])
-    invB1_f = padf(1.0 / B1_lm[:, sel_p], 1.0)
-    BinvB1_f = padf(B_lm[:, sel_p] / B1_lm[:, sel_p])
-    seed_f = padf(seed_lm[:, sel_p].astype(np.float64)) != 0.0
-    p0_f_t = padf(p0_m[sel_p])
-    f_axis = padf(np.arange(n, dtype=np.float64))
-
-    # density weights per (family, degree): w2c = w[+f] + w[-f],
-    # w2d = w[+f] - w[-f]; f = 0 keeps w[0] once with w2d = 0
-    w2p = cplx.take(w, jnp.asarray(np.maximum(hmap[sel_p], 0)), axis=-1)
-    w2p = w2p * jnp.asarray(valid[sel_p], dtype=rdt)  # [..., B, F, n]
-    vm = valid[sel_m].copy()
-    vm[0] = False
-    w2m = cplx.take(w, jnp.asarray(np.maximum(hmap[sel_m], 0)), axis=-1)
-    w2m = w2m * jnp.asarray(vm, dtype=rdt)
-    w2c = w2p + w2m
-    w2d = w2p - w2m
-    zsh = w2c.shape[:-2] + (pad, n)
-    w2c = cplx.concatenate([w2c, C.zeros(zsh, dtype=rdt)], axis=-2)
-    w2d = cplx.concatenate([w2d, C.zeros(zsh, dtype=rdt)], axis=-2)
-    w2c_steps = cplx.moveaxis(w2c, -1, 0)  # [n(l), ..., B, FP]
-    w2d_steps = cplx.moveaxis(w2d, -1, 0)
-
-    ct = jnp.cos(theta)
-    x_ = ct[..., None].astype(rdt)  # [..., B, 1(F)]
-    st = jnp.sin(theta).astype(rdt)
-    st_pows = _int_powers(st, n - 1)  # [..., B, n] — exactly sin^f
-    phi_e = phi[..., None].astype(rdt)
-
-    rad_steps = None
-    if rad is not None:
-        rad_steps = cplx.moveaxis(rad[..., :n], -1, 0)  # [n, ..., B]
-
-    batch = jnp.broadcast_shapes(
-        w.re.shape[:-1],
-        theta.shape,
-        () if rad is None else rad.re.shape[:-1],
-    )
-    pn0 = jnp.zeros(x_.shape[:-1] + (mbs,), rdt)
-    unroll = _UNROLL_OVERRIDE or min(n, 64)
-    out = C.zeros(batch, dtype=rdt)
-
-    for blk in range(nblk):
-        sl = slice(blk * mbs, (blk + 1) * mbs)
-        a_t = jnp.asarray(A_f[:, sl], rdt)
-        ib1_t = jnp.asarray(invB1_f[:, sl], rdt)
-        bib1_t = jnp.asarray(BinvB1_f[:, sl], rdt)
-        sd_t = jnp.asarray(seed_f[:, sl])
-        p0_t = jnp.asarray(p0_f_t[sl], rdt)
-        wc_t = w2c_steps[..., sl]
-        wd_t = w2d_steps[..., sl]
-        acc0 = C.zeros(batch + (mbs,), dtype=rdt)
-
-        def step(carry, xs, p0_t=p0_t):
-            pm, pn, ac, ad = carry
-            a_l, ib1_l, bib1_l, sd_l, wc_l, wd_l = xs[:6]
-            pp = (x_ - a_l) * pn * ib1_l - bib1_l * pm
-            pp = jnp.where(sd_l, p0_t, pp)
-            if rad is not None:
-                s = xs[6][..., None] * pp  # C [..., B, F]
-                ac = ac + wc_l * s
-                ad = ad + wd_l * s
-            else:
-                ac = ac + wc_l * pp
-                ad = ad + wd_l * pp
-            return (pn, pp, ac, ad), None
-
-        xs = (a_t, ib1_t, bib1_t, sd_t, wc_t, wd_t)
-        if rad is not None:
-            xs = xs + (rad_steps,)
-        (_, _, ac, ad), _ = jax.lax.scan(
-            step, (pn0, pn0, acc0, acc0), xs, unroll=unroll
-        )
-        fblk = jnp.asarray(f_axis[sl], rdt)
-        cosf = jnp.cos(phi_e * fblk)
-        sinf = jnp.sin(phi_e * fblk)
-        stpow = st_pows[..., blk * mbs : blk * mbs + mbs] if (
-            blk * mbs + mbs <= n
-        ) else jnp.pad(
-            st_pows[..., blk * mbs :],
-            [(0, 0)] * (st_pows.ndim - 1) + [(0, blk * mbs + mbs - n)],
-        )
-        term = ac * cosf + C(-ad.im, ad.re) * sinf
-        out = out + (term * stpow).sum(axis=-1)
-    return out * (1.0 / np.sqrt(2.0 * np.pi))
-
-
 def fused_ba_dot(c, n_end, w, theta, phi, rad=None):
     """sum_h w[..., B, H] rad[..., B, :]_(l_h) Y_h(theta, phi) -> C [..., B].
 
@@ -467,12 +223,7 @@ def fused_ba_dot(c, n_end, w, theta, phi, rad=None):
     rad: C [..., B, L>=n_end] per-point radial table indexed by degree,
     or None (factor 1).
     """
-    if _os.environ.get("BHS_EVAL_HALF", "0") == "1":  # trace-time A/B gate
-        mbs_env = int(_os.environ.get("BHS_EVAL_MBS", "0"))
-        return _fused_ba_dot_half(
-            c, n_end, w, theta, phi, rad=rad, mbs=mbs_env or None
-        )
-    if _os.environ.get("BHS_EVAL_BLOCKED", "0") == "1":  # trace-time A/B gate
+    if _os.environ.get("BHS_EVAL_BLOCKED", "1") == "1":  # default since r4
         return _fused_ba_dot_blocked(
             c, n_end, w, theta, phi, rad=rad,
             mbs=int(_os.environ.get("BHS_EVAL_MBS", "16")),
@@ -483,17 +234,6 @@ def fused_ba_dot(c, n_end, w, theta, phi, rad=None):
     n = n_end
     n_m = len(m_axis)
     rdt = jnp.result_type(theta.dtype, jnp.float32)
-    if rad is not None and rdt == jnp.float32 and _use_pallas_eval():
-        shape = jnp.broadcast_shapes(
-            C.of(w).re.shape[:-1], theta.shape, rad.re.shape[:-1]
-        )
-        w_ = C.of(w)
-        f = int(np.prod(w_.re.shape[:-2], dtype=np.int64))
-        if (
-            len(shape) >= 1
-            and int(np.prod(shape[:-1], dtype=np.int64)) % max(f, 1) == 0
-        ):
-            return _fused_ba_dot_pallas(c, n_end, w_, theta, phi, rad, shape)
     w = C.of(w).astype(rdt)
     if rad is not None:
         rad = rad.astype(rdt)

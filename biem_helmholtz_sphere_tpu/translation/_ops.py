@@ -157,7 +157,7 @@ def _diag_contract(band, yoc, yi):
     return cplx.einsum("...qa,qb->...ab", scaled, yi)
 
 
-def _sr_banded(c, t_sph, n_out, n_in, k, kind, use_pallas=False):
+def _sr_banded(c, t_sph, n_out, n_in, k, kind):
     """Masked band-accumulation (S|R) (or (R|R)) for d >= 3."""
     d = c.c_ndim
     w, yoc, yi, s_cart, n_o, n_i = _quad_tables(c, n_out, n_in)
@@ -191,19 +191,6 @@ def _sr_banded(c, t_sph, n_out, n_in, k, kind, use_pallas=False):
     omega = _surface_area(d)
     nsum = n_o_d[:, None] + n_i_d[None, :]  # [Ho, Hi]
 
-    if use_pallas and x.ndim == 2 and n_out == n_in and rad.shape[:-1] == x.shape[:-1]:
-        import os
-
-        from ..ops.cplx import ipow
-        from ..ops.pallas_sr import sr_banded_pallas_padded
-
-        coef = ipow(np.arange(n_bands)) * a_d * rad  # C [P, NB]
-        interpret = jax.devices()[0].platform not in ("tpu", "axon")
-        out = sr_banded_pallas_padded(
-            d, x, w, coef, yoc, yi, jnp.asarray(n_o), interpret=interpret
-        )
-        return apply_phase(out)
-
     ho, hi = yoc.shape[-1], yi.shape[-1]
     batch = jnp.broadcast_shapes(x.shape[:-1], rad.shape[:-1])
     m0 = C.zeros(batch + (ho, hi), dtype=rdt)
@@ -230,7 +217,7 @@ def _sr_banded(c, t_sph, n_out, n_in, k, kind, use_pallas=False):
 
 
 def translation_matrix(
-    c, t, n_end, k, kind="SR", n_end_add=None, method=None, use_pallas=None
+    c, t, n_end, k, kind="SR", n_end_add=None, method=None
 ):
     """Translation operator matrix C [..., H_out, H_in] for offsets t.
 
@@ -271,11 +258,6 @@ def translation_matrix(
     if not isinstance(k, C):
         k = jnp.asarray(k)
 
-    if use_pallas is None:
-        import os
-
-        use_pallas = os.environ.get("BHS_TPU_PALLAS", "0") == "1"
-
     if method == "gumerov":
         from ._gumerov import _require_gumerov_tree, sr_gumerov
 
@@ -295,7 +277,6 @@ def translation_matrix(
         method is None
         and c.root.kind in ("b", "bp")
         and n_in == n_end
-        and not use_pallas
     )
     if use_rotation:
         from ._rotation import sr_rotation
@@ -319,4 +300,4 @@ def translation_matrix(
         p_i_conj = cplx.ipow_device(n_i_d, rdt).conj()
         return (m * p_o[:, None]) * p_i_conj[None, :]
 
-    return _sr_banded(c, t_sph, n_end, n_in, k, kind, use_pallas=use_pallas)
+    return _sr_banded(c, t_sph, n_end, n_in, k, kind)

@@ -90,10 +90,6 @@ _SLOW_NODEID_PREFIXES = (
     "test_translation.py::test_translation_addition_theorem[bba",
     "test_frontends.py::test_sharded_sweep_and_uscat",
     "test_biem.py::test_auto_policy_prefers_lattice_matfree",
-    # round-3 session 2: the Pallas interpret-mode parity test compiles
-    # the kernel twice (scalar + batched) — heavy; the Pallas path is
-    # env-gated off by default, so slow-tier coverage suffices.
-    "test_biem.py::test_pallas_eval_matches_scan",
 )
 
 

@@ -653,48 +653,6 @@ def test_fused_eval_matches_general(rng):
     assert np.isnan(ui.real).all()
 
 
-def test_pallas_eval_matches_scan(rng, monkeypatch):
-    # The VMEM-resident Pallas fused-eval kernel (ops/pallas_eval.py,
-    # interpret mode off-TPU) against the XLA degree-major scan, through
-    # the public uscat: same values incl. the inside-sphere NaN mask.
-    # On-chip A/B in BENCH_NOTES.md "Pallas fused-eval A/B".
-    _, calc = _two_sphere_problem("ba", 8, k=1.4)
-    x = rng.normal(size=(3, 300)).astype(np.float32) * 4.0
-    monkeypatch.setenv("BHS_PALLAS_EVAL", "0")
-    u_scan = tonp(calc.uscat(jnp.asarray(x)))
-    monkeypatch.setenv("BHS_PALLAS_EVAL", "1")
-    u_pal = tonp(calc.uscat(jnp.asarray(x)))
-    assert np.array_equal(np.isnan(u_pal), np.isnan(u_scan))
-    scale = np.nanmax(np.abs(u_scan))
-    np.testing.assert_allclose(
-        np.nan_to_num(u_pal), np.nan_to_num(u_scan), atol=scale * 1e-5
-    )
-    # batched leading axis exercises the G = F * B flattening
-    monkeypatch.setenv("BHS_PALLAS_EVAL", "0")
-    kb = np.array([1.2, 1.5], dtype=np.float32)
-    uinb, _ = plane_wave(
-        k=kb, direction=np.broadcast_to([[1.0], [0.0], [0.0]], (3, 2))
-    )
-    calcb = biem(
-        create_from_branching_types("ba"),
-        centers=np.broadcast_to(
-            np.array([[0.0, 2.0, 0.0], [0.0, -2.0, 0.0]]), (2, 2, 3)
-        ),
-        radii=np.ones((2, 2)),
-        k=kb,
-        n_end=6,
-        uin=uinb,
-    )
-    xb = rng.normal(size=(3, 50)).astype(np.float32) * 4.0
-    ub_scan = tonp(calcb.uscat(jnp.asarray(xb)))
-    monkeypatch.setenv("BHS_PALLAS_EVAL", "1")
-    ub_pal = tonp(calcb.uscat(jnp.asarray(xb)))
-    scale = np.nanmax(np.abs(ub_scan))
-    np.testing.assert_allclose(
-        np.nan_to_num(ub_pal), np.nan_to_num(ub_scan), atol=scale * 1e-5
-    )
-
-
 def test_stable_f32_beyond_overflow():
     # float32 solves used to NaN from n_end ~ k t_min + 20 (h_n overflow
     # in assembly); the scale-compensated path (stable=None -> auto in

@@ -49,8 +49,12 @@ for cfg in configs:
     parts = cfg.split(":")
     os.environ["BHS_EVAL_BLOCKED"] = "0"
     os.environ["BHS_EVAL_HALF"] = "0"
+    os.environ["BHS_EVAL_PM"] = "0"
     os.environ.pop("BHS_EVAL_MBS", None)
-    if parts[0] == "base":
+    if parts[0] == "pm":
+        os.environ["BHS_EVAL_PM"] = "1"
+        chunk = int(parts[1]); label = f"pm chunk={chunk}"
+    elif parts[0] == "base":
         chunk = int(parts[1]); label = f"base chunk={chunk}"
     elif parts[0] == "half":
         os.environ["BHS_EVAL_HALF"] = "1"

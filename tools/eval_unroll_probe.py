@@ -34,7 +34,8 @@ x = jnp.asarray(rng.normal(size=(3, EVAL_POINTS)).astype(np.float32) * 20.0)
 # Flip the axon session to SYNCHRONOUS dispatch before any timing:
 # without one device->host readback block_until_ready does not block
 # (BENCH_NOTES.md "axon dispatch modes") and timings are fiction.
-assert np.isfinite(float(np.asarray(calc.density.re[0, 0])))
+if not np.isfinite(float(np.asarray(calc.density.re[0, 0]))):
+    raise RuntimeError("solve non-finite")  # plain raise: -O strips asserts
 
 import itertools
 import os

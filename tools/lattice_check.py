@@ -35,7 +35,7 @@ for btype, d, n_side, n_end, method in [
     mv_ref, diag_ref = _core._matfree_operator(
         c, n_end, centers, radii, k, eta, alpha, beta, method
     )
-    op = lattice_operator(c, n_end, centers, radii, k, eta, alpha, beta, method)
+    op = lattice_operator(c, n_end, centers, radii, k, eta, alpha, beta, method)[:2]
     assert op is not None, f"lattice not detected for {btype} n_side={n_side}"
     mv_lat, diag_lat = op
 
@@ -72,7 +72,7 @@ h_num = basis(c, 5).num
 mv_ref, diag_ref = _core._matfree_operator(
     c, 5, centers, radii, k, eta, alpha, beta, "triplet"
 )
-op = lattice_operator(c, 5, centers, radii, k, eta, alpha, beta, "triplet")
+op = lattice_operator(c, 5, centers, radii, k, eta, alpha, beta, "triplet")[:2]
 mv_lat, diag_lat = op
 x = C(
     jnp.asarray(rng.standard_normal((3, 4 * h_num))),

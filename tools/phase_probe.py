@@ -51,7 +51,8 @@ def timeit(f, *a, n=5):
     # flip the axon session to synchronous dispatch (one readback) so
     # block_until_ready actually blocks (BENCH_NOTES "axon dispatch modes")
     leaf = jax.tree_util.tree_leaves(out)[0]
-    assert bool(np.all(np.isfinite(np.asarray(leaf)))) or True
+    if not bool(np.all(np.isfinite(np.asarray(leaf)))):
+        pass  # readback is the point; finiteness informational
     t0 = time.perf_counter()
     for _ in range(n):
         jax.block_until_ready(f(*a))
