@@ -188,10 +188,9 @@ def test_n_balls_1024_depth_and_convergence():
     """The beyond-reference 1024-sphere lattice rows (FFT matvec, CPU
     f64, GMRES tol 1e-13) are committed to deep self-convergence
     (VERDICT r2 weak 3): the last two f64 rows at n_end >= 19 agree to
-    <= 1e-8 relative (measured ~5e-10 at 19->22).  The 4096-sphere
-    family remains f32/TPU at n_end <= 16 (~3 digits): its f64 rows at
-    tol 1e-13 stagnate restarted GMRES on this 1-core host (see
-    docs/roadmap.md)."""
+    <= 1e-8 relative.  Round 4 added the 4096-sphere f64 family via
+    long-basis GMRES + the n_end ladder (tools/nballs_family4.py;
+    restarted GMRES(192) had stagnated there in round 3)."""
     import csv
     import os
 
@@ -944,3 +943,23 @@ def test_solver_convergence_diagnostics():
     cal_m = biem(c, **kw, solver="matfree")
     assert float(cal_m.relres) < 1e-11
     assert int(cal_m.iters) >= 1
+
+
+def test_auto_policy_keeps_lu_below_limit():
+    """ADVICE r3 (medium): the dedup-rich mid-size matfree tier must NOT
+    preempt the exact direct solve for systems within the LU limit —
+    auto on a 9-ball lattice at small n_end keeps calc.matrix and
+    matches solver="matfree" to iterative tolerance."""
+    from biem_helmholtz_sphere_tpu.cli._accuracy import lattice_centers
+
+    c = create_from_branching_types("a")
+    centers = lattice_centers(3, 2)  # 9 balls, dedup-rich
+    uin, _ = plane_wave(k=np.asarray(1.0), direction=np.asarray([1.0, 0.0]))
+    kw = dict(centers=centers, radii=np.ones(9), k=np.asarray(1.0),
+              n_end=6, uin=uin)
+    cal = biem(c, **kw)  # auto; n_sys = 99 << lu_limit
+    assert cal.matrix is not None, "auto demoted a small system to matfree"
+    assert cal.relres is None  # direct solve, no iterative diagnostics
+    d_m = tonp(biem(c, **kw, solver="matfree").density)
+    d_a = tonp(cal.density)
+    assert np.abs(d_m - d_a).max() / np.abs(d_a).max() < 1e-9
