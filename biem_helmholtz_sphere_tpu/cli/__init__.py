@@ -57,6 +57,13 @@ def _platform_setup(args):
     )
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # "high" (3-pass bf16) matmul precision: the TPU bf16 default costs
+    # ~3e-3 absolute error on the cancellation-heavy assembly (measured
+    # round 4: f32 ba n_balls rows sat 4.3e-3 from the f64 truth at the
+    # default vs ~1e-4 at "high"; same finding as bench.py/BENCH_NOTES
+    # "matmul precision").  ~29% per-solve cost, and sweep artifacts
+    # exist to measure discretization error, not matmul rounding.
+    jax.config.update("jax_default_matmul_precision", "high")
 
 
 def main(argv=None):
