@@ -86,7 +86,16 @@ def main(argv=None):
 
     bp = sub.add_parser(
         "jascome-bempp",
-        help="mesh-BEM cross-check (requires bempp-cl; reference cli.py:118-142)",
+        help="independent-oracle cross-check ladder (MFS; the reference's "
+        "bempp-cl equivalent, cli.py:118-142)",
+    )
+    bp.add_argument("--out-dir", default="jascome")
+    bp.add_argument(
+        "--n-src-max",
+        type=int,
+        default=800,
+        help="top of the source-count ladder (analogue of the "
+        "reference's --min-h mesh ladder)",
     )
 
     cp = sub.add_parser("jascome-clean", help="pivot per-dimension tables")
@@ -170,14 +179,12 @@ def main(argv=None):
             btypes=args.btypes.split(",") if args.btypes else None,
         )
     elif args.cmd == "jascome-bempp":
-        print(
-            "bempp-cl is not installed in this environment (it is a dev-only "
-            "cross-validation dependency of the reference; see SURVEY.md "
-            "section 2.3). The committed goldens in jascome/ serve as the "
-            "mesh-BEM oracle instead.",
-            file=sys.stderr,
-        )
-        sys.exit(2)
+        # bempp-cl (the reference's dev-only oracle) is not in this
+        # image; the built-in MFS oracle is the independent method here
+        # (validation/ module, SURVEY.md section 2.3).
+        from ._jascome import run_jascome_mfs
+
+        run_jascome_mfs(args.out_dir, n_src_max=args.n_src_max)
     elif args.cmd == "jascome-clean":
         from ._jascome import clean_jascome
 

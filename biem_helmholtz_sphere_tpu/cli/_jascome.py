@@ -110,6 +110,45 @@ def run_jascome(out_dir, n_end_max=9, btypes=None):
     return path
 
 
+def run_jascome_mfs(out_dir, n_src_max=800):
+    """Independent-oracle convergence ladder for the jascome config.
+
+    The reference's `jascome-bempp` (cli.py:118-142) solved the same
+    two-unit-sphere k=1 configuration with bempp-cl at a mesh ladder
+    h = 1/2 .. min_h and recorded uscat(0) converging to the spectral
+    value.  bempp-cl is not in this image; the built-in MFS oracle
+    (validation/) is the equivalent *independent method* here: a
+    source-count ladder n_src = 50 .. n_src_max, each row carrying the
+    oracle's own boundary-residual certificate.  Writes
+    jascome_mfs_output.csv (h column replaced by n_src + bc_residual).
+    """
+    from ..validation import mfs_uscat
+
+    centers = _center_pair(3)
+    path = os.path.join(out_dir, "jascome_mfs_output.csv")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["n_src", "bc_residual", "uscat"])
+        n_src = 50
+        while n_src <= n_src_max:
+            r = mfs_uscat(
+                centers=centers,
+                radii=np.ones(2),
+                k=1.0,
+                direction=np.array([1.0, 0.0, 0.0]),
+                n_src=n_src,
+                src_depth=0.45,
+            )
+            u0 = complex(r.uscat(np.zeros((1, 3)))[0])
+            w.writerow([n_src, f"{r.bc_residual:.3e}", u0])
+            fh.flush()
+            log.info("mfs n_src=%d bc_resid=%.2e uscat=%s", n_src, r.bc_residual, u0)
+            n_src *= 2
+    log.info("wrote %s", path)
+    return path
+
+
 def _fmt_complex(s):
     z = complex(str(s).replace(" ", ""))
     return f"{z.real:+.6f}{z.imag:+.6f}i"
@@ -137,5 +176,16 @@ def clean_jascome(out_dir):
         )
         path = os.path.join(out_dir, f"jascome_output_{dim}d.csv")
         piv.to_csv(path)
+        out.append(path)
+
+    # clean the independent-oracle table too (reference cli.py:163-167
+    # did the same for its bempp output)
+    mfs_src = os.path.join(out_dir, "jascome_mfs_output.csv")
+    if os.path.exists(mfs_src):
+        dfm = pd.read_csv(mfs_src)
+        dfm = dfm[["n_src", "uscat"]]
+        dfm["uscat"] = dfm["uscat"].map(_fmt_complex)
+        path = os.path.join(out_dir, "jascome_mfs_output_clean.csv")
+        dfm.to_csv(path, index=False)
         out.append(path)
     return out

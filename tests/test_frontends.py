@@ -1,5 +1,6 @@
 """Frontend tests: CLI subcommands, plots, GUI handler, parallel sharding."""
 
+import csv
 import os
 import subprocess
 import sys
@@ -65,15 +66,32 @@ def test_reference_cell_coverage():
         )
 
 
-def test_jascome_bempp_graceful():
+def test_jascome_bempp_mfs_ladder(tmp_path):
+    """`jascome-bempp` runs the built-in MFS independent oracle (the
+    reference ran bempp-cl here, cli.py:118-142); the ladder must
+    converge toward the README spectral golden -0.74133-0.66966j."""
     out = subprocess.run(
-        [sys.executable, "-m", "biem_helmholtz_sphere_tpu", "jascome-bempp"],
+        [
+            sys.executable,
+            "-m",
+            "biem_helmholtz_sphere_tpu",
+            "jascome-bempp",
+            "--out-dir",
+            str(tmp_path),
+            "--n-src-max",
+            "100",
+        ],
         capture_output=True,
         text=True,
         cwd=REPO,
     )
-    assert out.returncode == 2
-    assert "bempp-cl" in out.stderr
+    assert out.returncode == 0, out.stderr
+    with open(tmp_path / "jascome_mfs_output.csv") as fh:
+        rows = list(csv.DictReader(fh))
+    assert [int(r["n_src"]) for r in rows] == [50, 100]
+    last = complex(rows[-1]["uscat"].strip("()"))
+    assert abs(last - (-0.74133 - 0.66966j)) < 2e-5
+    assert float(rows[-1]["bc_residual"]) < 1e-3
 
 
 def test_accuracy_sweep_and_heatmap(tmp_path):
