@@ -8,8 +8,10 @@ backend (reference enumerates via __array_namespace_info__(),
 gui.py:144-159), wavenumber (complex), eta, n_end (capped by max_n_end
 against available memory, reference gui.py:189-199), inner/outer kind,
 force_matrix toggle, per-sphere rows (alpha, beta, radius, center) with
-add/remove buttons (reference gui.py:229-254), recompute on submit with a
-progress indicator and notification-style error panel (gui.py:401-412),
+add/remove buttons (reference gui.py:229-254), reactive recompute on any
+widget change via an in-place fetch to the /compute fragment endpoint
+(the stdlib equivalent of the reference's websocket push, gui.py:256-338)
+with a progress indicator and notification-style error panel (gui.py:401-412),
 near-field + far-field plots side by side, time-phase / animation
 control (reference's plot_biem time animation), per-ball plot selection,
 and SVG/PNG/JPG download of the figure.
@@ -50,10 +52,13 @@ function showProgress() {{
   document.getElementById('progress').style.display = 'inline';
   return true;
 }}
-// Reactive recompute (reference gui.py:256-338 recomputes on ANY widget
-// change): any form change auto-submits after a short debounce, with the
-// progress indicator live during the round trip.  The "reactive"
-// checkbox opts out.
+// Reactive recompute (reference gui.py:256-338 recomputes server-side
+// on ANY widget change and pushes the new panes over its websocket):
+// any form change triggers, after a short debounce, a fetch() POST to
+// the /compute fragment endpoint and swaps the result panes in place —
+// no page reload, the form keeps focus/scroll state, like the
+// reference's push.  The "reactive" checkbox opts out; the Compute
+// button still full-page-POSTs so the GUI works without JS.
 document.addEventListener('DOMContentLoaded', function () {{
   var form = document.querySelector('form');
   form.addEventListener('change', function (e) {{
@@ -62,7 +67,20 @@ document.addEventListener('DOMContentLoaded', function () {{
     clearTimeout(window.__autoT);
     window.__autoT = setTimeout(function () {{
       showProgress();
-      form.submit();
+      var seq = (window.__seq = (window.__seq || 0) + 1);
+      fetch('/compute', {{
+        method: 'POST',
+        headers: {{'Content-Type': 'application/x-www-form-urlencoded'}},
+        body: new URLSearchParams(new FormData(form)).toString(),
+      }}).then(function (resp) {{ return resp.text(); }})
+        .then(function (frag) {{
+          if (seq !== window.__seq) return;  // a newer change superseded us
+          document.getElementById('result').innerHTML = frag;
+          document.getElementById('progress').style.display = 'none';
+        }})
+        .catch(function () {{
+          document.getElementById('progress').style.display = 'none';
+        }});
     }}, 400);
   }});
 }});
@@ -110,8 +128,10 @@ document.addEventListener('DOMContentLoaded', function () {{
 <label>reactive <input type="checkbox" id="reactive" name="reactive" {reactive}></label>
 <span id="progress">computing&hellip;</span>
 </form>
+<div id="result">
 <div>{status}</div>
 <div>{images}</div>
+</div>
 </body></html>
 """
 
@@ -393,6 +413,23 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         self._respond({})
 
+    def _respond_fragment(self, form):
+        """Reactive-push endpoint: compute and return ONLY the result
+        panes (status + images) for in-place swapping — the stdlib
+        equivalent of the reference's per-widget-change websocket push
+        (reference gui.py:256-338)."""
+        try:
+            status, images = _solve_and_plot(form)
+        except Exception:
+            status = f'<div class="err">{html.escape(traceback.format_exc())}</div>'
+            images = ""
+        body = f"<div>{status}</div>\n<div>{images}</div>".encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def do_POST(self):
         length = int(self.headers.get("Content-Length", "0"))
         raw = self.rfile.read(length).decode()
@@ -403,7 +440,10 @@ class _Handler(BaseHTTPRequestHandler):
         if not form["sphere_list"] and form.get("spheres"):
             form["sphere_list"] = form["spheres"].splitlines()
         form["_submitted"] = "1"
-        self._respond(form)
+        if self.path == "/compute":
+            self._respond_fragment(form)
+        else:
+            self._respond(form)
 
     def log_message(self, fmt, *args):
         log.debug("gui: " + fmt, *args)

@@ -240,10 +240,12 @@ def test_gui_http_roundtrip():
             b'name="t"',
             b'id="progress"',
             # reactive recompute (reference gui.py:256-338): the change
-            # listener auto-submits the form; checkbox defaults ON
+            # listener fetch()es the /compute fragment endpoint and
+            # swaps the result panes in place; checkbox defaults ON
             b'id="reactive" name="reactive" checked',
             b"form.addEventListener('change'",
-            b"form.submit()",
+            b"fetch('/compute'",
+            b'id="result"',
         ):
             assert needle in page, needle
         # device options come from the live JAX backend
@@ -282,6 +284,15 @@ def test_gui_http_roundtrip():
         # the three posted sphere rows round-trip into the form (+1 for
         # the addRow JS template literal)
         assert resp.count(b'name="sphere"') == 3 + 1
+
+        # the reactive-push endpoint returns ONLY the result fragment
+        # (no <form>), ready for in-place swapping
+        frag = urllib.request.urlopen(
+            urllib.request.Request(f"http://127.0.0.1:{port}/compute", data=data),
+            timeout=300,
+        ).read()
+        assert b"uscat(0)" in frag and b"base64" in frag
+        assert b"<form" not in frag and b"<html" not in frag
     finally:
         httpd.shutdown()
         httpd.server_close()
