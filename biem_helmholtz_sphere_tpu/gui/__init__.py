@@ -21,6 +21,7 @@ import base64
 import html
 import io
 import logging
+import threading
 import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs
@@ -28,6 +29,40 @@ from urllib.parse import parse_qs
 import numpy as np
 
 log = logging.getLogger(__name__)
+
+# ThreadingHTTPServer runs each request on its own thread; solves are
+# serialized through this lock so two reactive /compute requests never
+# compile/solve concurrently on the one chip (and matplotlib's pyplot
+# state machine is never entered from two threads).  The reference
+# serializes naturally through panel's event loop (gui.py:410-412).
+_compute_lock = threading.Lock()
+# Server-side staleness: the newest /compute sequence number seen per
+# client.  A request that was queued behind the lock but superseded by a
+# newer one from the same client is dropped without touching the
+# device.  Guarded by _seq_lock (NOT by _compute_lock: a newer request
+# must be able to register its seq while an older solve holds the
+# compute lock).
+_seq_lock = threading.Lock()
+_latest_seq = {}
+
+
+def _locked_solve_and_plot(form, seq=None, client=""):
+    """Run _solve_and_plot under the global compute lock.
+
+    When ``seq`` is given (reactive /compute requests), returns ``None``
+    without computing if a newer request from the same ``client``
+    registered itself while this one waited for the lock — the
+    server-side counterpart of the client's ``window.__seq`` guard.
+    """
+    if seq is not None:
+        with _seq_lock:
+            _latest_seq[client] = max(_latest_seq.get(client, 0), seq)
+    with _compute_lock:
+        if seq is not None:
+            with _seq_lock:
+                if seq < _latest_seq.get(client, 0):
+                    return None
+        return _solve_and_plot(form)
 
 _DEFAULT_SPHERES = ["1+0j, 0+0j, 1.0, 0 2 0", "1+0j, 0+0j, 1.0, 0 -2 0"]
 
@@ -68,17 +103,29 @@ document.addEventListener('DOMContentLoaded', function () {{
     window.__autoT = setTimeout(function () {{
       showProgress();
       var seq = (window.__seq = (window.__seq || 0) + 1);
+      // abort the superseded in-flight fetch; the server additionally
+      // drops stale queued requests by their __seq before solving
+      if (window.__ctl) window.__ctl.abort();
+      var ctl = (window.__ctl = new AbortController());
+      var body = new URLSearchParams(new FormData(form));
+      body.append('__seq', seq);
+      body.append('__cid', window.__cid = window.__cid || String(Math.random()).slice(2));
       fetch('/compute', {{
         method: 'POST',
         headers: {{'Content-Type': 'application/x-www-form-urlencoded'}},
-        body: new URLSearchParams(new FormData(form)).toString(),
-      }}).then(function (resp) {{ return resp.text(); }})
+        body: body.toString(),
+        signal: ctl.signal,
+      }}).then(function (resp) {{
+          if (resp.status === 204) return null;  // server dropped a stale request
+          return resp.text();
+        }})
         .then(function (frag) {{
           if (seq !== window.__seq) return;  // a newer change superseded us
-          document.getElementById('result').innerHTML = frag;
+          if (frag !== null) document.getElementById('result').innerHTML = frag;
           document.getElementById('progress').style.display = 'none';
         }})
         .catch(function () {{
+          if (seq !== window.__seq) return;  // keep the spinner for the live request
           document.getElementById('progress').style.display = 'none';
         }});
     }}, 400);
@@ -341,7 +388,7 @@ class _Handler(BaseHTTPRequestHandler):
         status, images = "", ""
         if form.get("_submitted"):
             try:
-                status, images = _solve_and_plot(form)
+                status, images = _locked_solve_and_plot(form)
             except Exception:
                 # notification-style error panel (reference gui.py:410-412)
                 status = f'<div class="err">{html.escape(traceback.format_exc())}</div>'
@@ -417,12 +464,27 @@ class _Handler(BaseHTTPRequestHandler):
         """Reactive-push endpoint: compute and return ONLY the result
         panes (status + images) for in-place swapping — the stdlib
         equivalent of the reference's per-widget-change websocket push
-        (reference gui.py:256-338)."""
+        (reference gui.py:256-338).  Requests superseded by a newer
+        ``__seq`` while queued behind the compute lock are answered 204
+        without any device work."""
         try:
-            status, images = _solve_and_plot(form)
+            seq = int(form.get("__seq", "0") or 0)
+        except ValueError:
+            seq = 0
+        try:
+            result = _locked_solve_and_plot(
+                form, seq=seq, client=form.get("__cid", "")
+            )
         except Exception:
             status = f'<div class="err">{html.escape(traceback.format_exc())}</div>'
             images = ""
+        else:
+            if result is None:  # superseded — dropped server-side
+                self.send_response(204)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            status, images = result
         body = f"<div>{status}</div>\n<div>{images}</div>".encode()
         self.send_response(200)
         self.send_header("Content-Type", "text/html; charset=utf-8")

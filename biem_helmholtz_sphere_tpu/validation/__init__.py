@@ -42,12 +42,14 @@ from scipy.special import hankel1
 __all__ = ["MFSResult", "mfs_uscat", "sphere_points"]
 
 
-def sphere_points(d, n, rng=None):
+def sphere_points(d, n, seed=0):
     """n quasi-uniform unit vectors on S^{d-1}, shape [n, d].
 
     d=2: exact uniform angles; d=3: Fibonacci spiral; d>=4: seeded
     random directions (the MFS least-squares system only needs
     reasonable coverage, and collocation is oversampled 2x vs sources).
+    ``seed`` is an integer RNG seed (only used for d >= 4); callers that
+    need several independent point sets pass distinct integers.
 
     >>> p = sphere_points(3, 100)
     >>> bool(np.allclose(np.linalg.norm(p, axis=1), 1.0))
@@ -62,7 +64,7 @@ def sphere_points(d, n, rng=None):
         z = 1 - 2 * i / n
         r = np.sqrt(np.maximum(0.0, 1 - z * z))
         return np.stack([r * np.cos(phi), r * np.sin(phi), z], axis=1)
-    rng = np.random.default_rng(0 if rng is None else rng)
+    rng = np.random.default_rng(int(seed))
     v = rng.standard_normal((n, d))
     return v / np.linalg.norm(v, axis=1, keepdims=True)
 
@@ -92,6 +94,24 @@ def _green_normal(d, k, diff, normal):
     return dG_dR * cosang
 
 
+def _h0(d, z):
+    """d-dim spherical Hankel h^(1)_0(z), the `shn1`/`point_source`
+    normalization (special/_family.py:332-367): sqrt(pi/2) z^-nu
+    H^(1)_nu(z), nu = (d-2)/2; closed form -i e^{iz}/z in 3D."""
+    if d == 3:
+        return -1j * np.exp(1j * z) / z
+    nu = (d - 2) / 2.0
+    return np.sqrt(np.pi / 2.0) * z**-nu * hankel1(nu, z)
+
+
+def _h0p(d, z):
+    """d/dz of _h0 via d/dz [z^-nu H_nu(z)] = -z^-nu H_{nu+1}(z)."""
+    if d == 3:
+        return np.exp(1j * z) * (z + 1j) / z**2
+    nu = (d - 2) / 2.0
+    return -np.sqrt(np.pi / 2.0) * z**-nu * hankel1(nu + 1, z)
+
+
 @dataclass
 class MFSResult:
     """Oracle solution: call `uscat(points)` with points [P, d]."""
@@ -114,21 +134,34 @@ def mfs_uscat(
     centers,
     radii,
     k,
-    direction,
+    direction=None,
+    source=None,
     alpha=1.0,
     beta=0.0,
+    kind="outer",
     n_src=200,
     src_depth=0.5,
-    rng=0,
+    seed=0,
 ):
-    """Solve plane-wave scattering off B hyperspheres by MFS.
+    """Solve scattering off B hyperspheres by MFS.
 
-    centers [B, d], radii [B], scalar k, direction [d] (normalized
-    internally; incident wave e^{i k d.x}, the `plane_wave` convention).
+    centers [B, d], radii [B], scalar k.  The incident wave is exactly
+    one of:
+
+    - ``direction`` [d] (normalized internally): plane wave e^{i k d.x},
+      the `plane_wave` convention;
+    - ``source`` [d]: monopole point source h^(1)_0(k |x - source|) in
+      the `point_source` (n=0) normalization — the reference's
+      point-source incidence (_biem.py:391-450) that the bempp oracle
+      there never covered.
+
     alpha/beta: impedance BC  alpha u + beta du/dn = 0  (sound-soft for
-    alpha=1, beta=0).  Returns an `MFSResult`; check `bc_residual`
-    before trusting `uscat` — it bounds the oracle's own error by the
-    usual BVP stability argument.
+    alpha=1, beta=0).  ``kind="inner"`` solves the interior problem for
+    a SINGLE ball (fictitious sources placed *outside* at
+    radius/src_depth; the ansatz is then regular inside).  ``seed`` is
+    an integer RNG seed for the d>=4 point sets.  Returns an
+    `MFSResult`; check `bc_residual` before trusting `uscat` — it
+    bounds the oracle's own error by the usual BVP stability argument.
 
     >>> r = mfs_uscat(centers=np.zeros((1, 3)), radii=np.ones(1),
     ...               k=1.0, direction=np.array([1.0, 0, 0]))
@@ -139,26 +172,49 @@ def mfs_uscat(
     radii = np.asarray(radii, dtype=np.float64)
     B, d = centers.shape
     k = float(k)
-    direction = np.asarray(direction, dtype=np.float64)
-    direction = direction / np.linalg.norm(direction)
     alpha = complex(alpha)
     beta = complex(beta)
     n_col = 2 * n_src
+    seed = int(seed)
+    if (direction is None) == (source is None):
+        raise ValueError(
+            "give exactly one of direction= (plane wave) or source= (point source)"
+        )
+    if kind not in ("outer", "inner"):
+        raise ValueError(f"kind must be 'outer' or 'inner', got {kind!r}")
+    if kind == "inner" and B != 1:
+        raise ValueError("kind='inner' oracle supports a single ball only")
 
-    def u_in(x):  # [.., d] -> complex
-        return np.exp(1j * k * (x @ direction))
+    if direction is not None:
+        direction = np.asarray(direction, dtype=np.float64)
+        direction = direction / np.linalg.norm(direction)
 
-    def du_in(x, nrm):  # normal derivative of the incident wave
-        return 1j * k * (nrm @ direction) * u_in(x)
+        def u_in(x):  # [.., d] -> complex
+            return np.exp(1j * k * (x @ direction))
 
-    # geometry: per-ball collocation (on surface) and sources (inside)
-    col_dirs = sphere_points(d, n_col, rng=rng)
-    src_dirs = sphere_points(d, n_src, rng=rng + 1)
+        def du_in(x, nrm):  # normal derivative of the incident wave
+            return 1j * k * (nrm @ direction) * u_in(x)
+
+    else:
+        source = np.asarray(source, dtype=np.float64)
+
+        def u_in(x):
+            R = np.linalg.norm(x - source, axis=-1)
+            return _h0(d, k * R)
+
+        def du_in(x, nrm):
+            rel = x - source
+            R = np.linalg.norm(rel, axis=-1)
+            return _h0p(d, k * R) * k * np.sum(rel * nrm, axis=-1) / R
+
+    # geometry: per-ball collocation (on surface) and fictitious sources
+    # (inside for the exterior problem; outside for the interior one)
+    col_dirs = sphere_points(d, n_col, seed=seed)
+    src_dirs = sphere_points(d, n_src, seed=seed + 1)
+    src_radii = (src_depth * radii) if kind == "outer" else (radii / src_depth)
     col = (centers[:, None, :] + radii[:, None, None] * col_dirs).reshape(-1, d)
     nrm = np.broadcast_to(col_dirs, (B, n_col, d)).reshape(-1, d)
-    src = (
-        centers[:, None, :] + (src_depth * radii)[:, None, None] * src_dirs
-    ).reshape(-1, d)
+    src = (centers[:, None, :] + src_radii[:, None, None] * src_dirs).reshape(-1, d)
 
     diff = col[:, None, :] - src[None, :, :]
     A = alpha * _green(d, k, diff)
@@ -169,7 +225,7 @@ def mfs_uscat(
 
     # accuracy certificate: BC defect at FRESH surface points (a
     # rotated/jittered point set, not the collocation nodes)
-    test_dirs = sphere_points(d, n_col + 37, rng=rng + 2)
+    test_dirs = sphere_points(d, n_col + 37, seed=seed + 2)
     if d <= 3:  # deterministic families need an explicit de-alias twist
         ang = 0.71
         c, s = np.cos(ang), np.sin(ang)

@@ -298,6 +298,68 @@ def test_gui_http_roundtrip():
         httpd.server_close()
 
 
+def test_gui_compute_serialized(monkeypatch):
+    """Concurrent /compute POSTs are serialized through the module lock
+    and stale queued requests are dropped server-side (VERDICT r4 item 7:
+    the reference serializes naturally through panel's event loop,
+    gui.py:410-412; here ThreadingHTTPServer threads share one chip)."""
+    import threading
+    import time
+    import urllib.parse
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from biem_helmholtz_sphere_tpu import gui
+
+    calls = {"active": 0, "max_active": 0, "n": 0, "seqs": []}
+    guard = threading.Lock()
+
+    def fake_solve(form):
+        with guard:
+            calls["active"] += 1
+            calls["max_active"] = max(calls["max_active"], calls["active"])
+            calls["n"] += 1
+            calls["seqs"].append(form.get("__seq"))
+        time.sleep(0.3)
+        with guard:
+            calls["active"] -= 1
+        return "<p>uscat(0) = fake</p>", ""
+
+    monkeypatch.setattr(gui, "_solve_and_plot", fake_solve)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), gui._Handler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        statuses = {}
+
+        def post(seq):
+            data = urllib.parse.urlencode(
+                {"__seq": str(seq), "__cid": "testcid", "n_end": "2"}
+            ).encode()
+            req = urllib.request.Request(f"http://127.0.0.1:{port}/compute", data=data)
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                statuses[seq] = resp.status
+
+        threads = []
+        for seq in (1, 2, 3):
+            t = threading.Thread(target=post, args=(seq,))
+            t.start()
+            threads.append(t)
+            time.sleep(0.08)  # 1 starts solving; 2 and 3 queue behind the lock
+        for t in threads:
+            t.join()
+        # never two solves at once
+        assert calls["max_active"] == 1
+        # at least one queued stale request was dropped without device work
+        assert calls["n"] < 3
+        assert statuses[3] == 200  # the newest request always computes
+        assert 204 in statuses.values()  # a superseded one answered 204
+        assert "3" in calls["seqs"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_sharded_sweep_and_uscat():
     from biem_helmholtz_sphere_tpu import biem, plane_wave
     from biem_helmholtz_sphere_tpu.coords import create_from_branching_types
