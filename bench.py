@@ -210,7 +210,11 @@ def main():
         vals = np.concatenate(
             [np.asarray(re_) + 1j * np.asarray(im_) for re_, im_ in outs]
         )
-        iters_mean = float(np.mean([int(i) for i in iters_l]))
+        # iters is PER-SYSTEM since round 5 (cplx.gmres_solve_op): the
+        # matvec cost a k-block pays is its max (systems iterate
+        # together); the mean-of-maxes is the cost model's iteration
+        # count, matching the pre-round-5 shared-count semantics.
+        iters_mean = float(np.mean([np.max(np.asarray(i)) for i in iters_l]))
         return dt / SWEEP_N, vals, iters_mean
 
     per_k_sweep, vals1, iters_mean = run_sweep()
@@ -220,6 +224,19 @@ def main():
     )
     if not np.all(np.isfinite(vals1)):
         raise RuntimeError("sweep produced non-finite uscat")
+
+    # Host-dispatch floor sentinel (VERDICT r4 item 4): in sync mode a
+    # trivial dispatch costs ~0.1 ms on an idle host but ~25-30 ms when
+    # the 1-core host is contended (BENCH_NOTES "axon dispatch modes" /
+    # "eval plateau") — the eval number below is dispatch-sensitive
+    # (lax.map chunks), so the JSON carries the floor that explains any
+    # probe-vs-driver delta.
+    _z = jnp.zeros(())
+    jnp.sin(_z).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(20):
+        jnp.sin(_z).block_until_ready()
+    dispatch_floor_ms = (time.perf_counter() - t0) / 20 * 1e3
 
     # field-evaluation throughput (chunked to bound [chunk, B, H] memory)
     uin, _ = plane_wave(k=jnp.float32(K0), direction=direction)
@@ -248,6 +265,95 @@ def main():
         eval_jit(calc, x).block_until_ready()
         dt_best = min(dt_best, time.perf_counter() - t0)
     pts_per_s = EVAL_POINTS / dt_best
+
+    # ---- stage-resolved solve timings (VERDICT r4 item 2): measured
+    # wall time of each stage of the blocked solve step, so the
+    # utilization model below can say WHERE the per-k time goes.
+    #   rhs      — analytic plane-wave boundary-data expansion
+    #   build    — (S|R) table construction (rotation+coaxial sandwich)
+    #   matvec   — one application of the unique-offset lane operator,
+    #              isolated as the slope of an N-application chain
+    #              (T(9) - T(1)) / 8, which cancels build+overhead
+    #   ortho    — per-Krylov-step CGS2+rotation cost, measured by
+    #              running the same GMRES kernel on a cheap diagonal
+    #              operator for a full 48-step cycle
+    # Totals are per k-point (block time / KB); the unattributed
+    # remainder (dispatch, warm-start plumbing, uscat(0), convergence
+    # checks) is reported as stage_other_s.
+    from biem_helmholtz_sphere_tpu.biem._core import (
+        _check_biem_inputs,
+        _matfree_operator,
+        _rhs_dispatch,
+    )
+    from biem_helmholtz_sphere_tpu.ops import cplx
+
+    def rhs_step(k):
+        cen, rad, kc, eta_c, al, be = _check_biem_inputs(
+            c, centers_b, radii_b, k, None, 1.0, 0.0
+        )
+        uin_b, _ = plane_wave(k=k, direction=dir_b)
+        f = _rhs_dispatch(c, N_END, cen, rad, al, be, uin_b, None, 1)
+        return f.re
+
+    def make_mv_chain(n_apply):
+        def f(k, x):
+            cen, rad, kc, eta_c, al, be = _check_biem_inputs(
+                c, centers_b, radii_b, k, None, 1.0, 0.0
+            )
+            mv, diag = _matfree_operator(
+                c, N_END, centers, rad, kc, eta_c, al, be, None, stable=True
+            )
+
+            def body(i, xc):
+                y = mv(xc)
+                # renormalize so a 9-deep chain cannot overflow f32
+                s = 1.0 / jnp.sqrt(y.abs2().mean(-1, keepdims=True) + 1e-30)
+                return y * s
+
+            return jax.lax.fori_loop(0, n_apply, body, x).re
+
+        return f
+
+    def cheap_gmres(b):
+        ones = C.of(jnp.ones((nb * h_num,), jnp.float32))
+
+        def mv(x):
+            return x * 0.5
+
+        # tol unreachable -> all 48 steps of one cycle run; the cheap
+        # matvec is negligible, so this times CGS2+Givens per step
+        return cplx.gmres_solve_op(
+            mv, ones, b, tol=1e-30, restart=48, maxiter=1
+        ).re
+
+    def _time_jit(fn, *args, reps=3):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    kb_k = jnp.asarray(np.linspace(K0 - 0.1, K0 + 0.1, KB).astype(np.float32))
+    x_probe = C.of(
+        jnp.asarray(
+            rng.normal(size=(KB, nb * h_num)).astype(np.float32)
+        )
+    )
+    b_probe = C.of(
+        jnp.asarray(
+            rng.normal(size=(KB, nb * h_num)).astype(np.float32)
+        )
+    )
+    t_rhs = _time_jit(jax.jit(rhs_step), kb_k)
+    t_mv1 = _time_jit(jax.jit(make_mv_chain(1)), kb_k, x_probe)
+    t_mv9 = _time_jit(jax.jit(make_mv_chain(9)), kb_k, x_probe)
+    t_gm48 = _time_jit(jax.jit(cheap_gmres), b_probe)
+    stage_matvec_1 = max((t_mv9 - t_mv1) / 8.0, 0.0)
+    stage_build = max(t_mv1 - stage_matvec_1, 0.0)
+    stage_ortho_1 = t_gm48 / 48.0
 
     # ---- utilization model (VERDICT r3 next-3): analytic FLOPs/bytes of
     # the measured work against chip peaks, so the speedup ratios below
@@ -322,6 +428,24 @@ def main():
         "gmres_iters_per_k": round(iters_mean, 1),
         "eval_mfu": round(eval_mfu, 4),
         "eval_hbm_util": round(eval_hbm, 4),
+        # measured per-k stage split (see stage probe comments above);
+        # stage_other_s = headline minus attributed stages (dispatch,
+        # warm-start plumbing, uscat(0), convergence checks)
+        "stage_rhs_s": round(t_rhs / KB, 5),
+        "stage_build_s": round(stage_build / KB, 5),
+        "stage_matvec_s": round(iters_mean * stage_matvec_1 / KB, 5),
+        "stage_ortho_s": round(iters_mean * stage_ortho_1 / KB, 5),
+        "stage_other_s": round(
+            per_k_sweep
+            - (
+                t_rhs
+                + stage_build
+                + iters_mean * (stage_matvec_1 + stage_ortho_1)
+            )
+            / KB,
+            5,
+        ),
+        "dispatch_floor_ms": round(dispatch_floor_ms, 3),
     }
     if jax_cpu is not None:
         out["vs_jax_cpu"] = round(jax_cpu / per_k_sweep, 1)

@@ -186,8 +186,9 @@ class BIEMResultCalculator:
     #: solves, which are exact to rounding) — lets sweeps and users
     #: distinguish converged from stagnated GMRES solves (round 4).
     relres: Any = None
-    #: total Krylov steps run (shared across batch systems); None for
-    #: direct solves.
+    #: Krylov steps until convergence PER batch system (int32, batch
+    #: shape; batched systems iterate together so the cost paid is
+    #: max(iters)); None for direct solves.
     iters: Any = None
 
     def uscat(self, x, /, far_field=False, per_ball=False, expand_x=True):

@@ -90,8 +90,11 @@ _HEADER = [
     "density_device",
     "uscat_dtype",
     "uscat_device",
-    # iterative-solver convergence diagnostics (round 4): empty for
-    # direct/LU rows, which are exact to rounding
+    # iterative-solver convergence diagnostics (round 4): per-system
+    # relres / Krylov-steps-to-convergence.  Direct/LU rows (exact to
+    # rounding) carry the explicit marker "exact"; rows written before
+    # round 5 used an empty cell for the same meaning (VERDICT r4
+    # item 10).
     "solve_relres",
     "solve_iters",
 ]
@@ -250,7 +253,11 @@ def run_accuracy(
                         if rr_c is None
                         else np.broadcast_to(np.asarray(rr_c), (len(ks),))
                     )
-                    it_n = None if it_c is None else int(it_c)
+                    it_n = (
+                        None
+                        if it_c is None
+                        else np.broadcast_to(np.asarray(it_c), (len(ks),))
+                    )
                     dens = to_numpy(dens_c)
                     u0s = to_numpy(u0c).reshape(len(ks), -1)[:, 0] if len(
                         ks
@@ -293,8 +300,8 @@ def run_accuracy(
                             host_dev,
                             in_dtype,
                             *prov,
-                            "" if rr is None else f"{float(rr[i]):.3e}",
-                            "" if it_n is None else it_n,
+                            "exact" if rr is None else f"{float(rr[i]):.3e}",
+                            "exact" if it_n is None else int(it_n[i]),
                         ]
                     )
                     fh.flush()

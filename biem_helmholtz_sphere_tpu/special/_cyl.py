@@ -15,6 +15,7 @@ the seam is ~1e-12 relative in float64.  Valid for Re z >= 0 (z = k*r with
 r > 0, Re k >= 0); moderate Im z supported.
 """
 
+import jax
 import numpy as np
 
 from ..ops import cplx
@@ -26,18 +27,33 @@ _N_SERIES = 42
 _N_ASYM = 24
 
 
+def _guard(i, val):
+    """Cap the mul-add chain depth XLA's algebraic simplifier can see.
+
+    The simplifier spends ~one fixed-point run per level of a dependent
+    Horner chain; chains beyond ~50 levels trip its 50-run cap and log
+    "circular simplification loop" on EVERY solver compile (round 5
+    bisect: a plain real 60-level Horner chain reproduces it —
+    tools/simplifier_repro.py).  A barrier every 16 levels bounds the
+    visible depth; evaluation order and rounding are unchanged.
+    """
+    if i % 16 != 0:
+        return val
+    return jax.lax.optimization_barrier(val)
+
+
 def _series_j01(z):
     """J0, J1 by ascending series: sum_k (-1)^k (z/2)^(2k+n) / (k! (k+n)!)."""
     q = (z / 2.0) ** 2
     j0 = C.of(0.0)
     j1 = C.of(0.0)
-    for k in range(_N_SERIES - 1, -1, -1):
+    for i, k in enumerate(range(_N_SERIES - 1, -1, -1)):
         # log-space factorials: coefficients stay finite for all k
         lf_k = float(np.sum(np.log(np.arange(1, k + 1)))) if k > 0 else 0.0
         c0 = (-1.0) ** k * np.exp(-2.0 * lf_k)
         c1 = (-1.0) ** k * np.exp(-2.0 * lf_k - np.log(k + 1.0))
-        j0 = j0 * q + c0
-        j1 = j1 * q + c1
+        j0 = _guard(i, j0 * q + c0)
+        j1 = _guard(i, j1 * q + c1)
     return j0, j1 * (z / 2.0)
 
 
@@ -52,8 +68,8 @@ def _series_y01(z, j0, j1):
         hk += 1.0 / k
         lf_k = float(np.sum(np.log(np.arange(1, k + 1))))
         coef0.append((-1.0) ** (k + 1) * hk * np.exp(-2.0 * lf_k))
-    for c in reversed(coef0):
-        s0 = (s0 + c) * q
+    for i, c in enumerate(reversed(coef0)):
+        s0 = _guard(i, (s0 + c) * q)
     y0 = (lg * j0 + s0) * (2.0 / np.pi)
 
     s1 = C.of(0.0)
@@ -65,8 +81,8 @@ def _series_y01(z, j0, j1):
         lf_k1 = lf_k + np.log(k + 1.0)
         coef1.append((-1.0) ** k * (psi1 + psi2) * np.exp(-lf_k - lf_k1))
         psi1 = psi2
-    for c in reversed(coef1):
-        s1 = s1 * q + c
+    for i, c in enumerate(reversed(coef1)):
+        s1 = _guard(i, s1 * q + c)
     # NOTE: Y1 (DLMF 10.8.1) uses plain ln(z/2); gamma is inside the psi terms.
     y1 = (
         (lg - _EULER_GAMMA) * j1 * (2.0 / np.pi)
@@ -86,8 +102,8 @@ def _asym_series(nu, z, sign):
         coefs.append(complex((sign * 1j) ** k) * a)
     inv = 1.0 / z
     s = C.of(0.0)
-    for c in reversed(coefs):
-        s = (s + c) * inv
+    for i, c in enumerate(reversed(coefs)):
+        s = _guard(i, (s + c) * inv)
     return s + 1.0
 
 

@@ -169,6 +169,33 @@ def coaxial_sr(c, r, n_end, k, kind="SR"):
     return cplx.where(mask, m, C.of(0.0))
 
 
+@lru_cache(maxsize=256)
+def _degree_groups(c, n_end, target=128):
+    """Contiguous [start, stop) row groups aligned to root-degree-block
+    boundaries, each <= target rows where block sizes allow (a single
+    block larger than target becomes its own group).
+
+    The rotation D is exactly degree-block-diagonal and the basis
+    layout is degree-CONTIGUOUS (verified for every branching grammar),
+    so D-matmuls restricted to these groups do H * sum(g^2) work
+    instead of H^3 — ~9x fewer flops at n_end=32 with target=128 (the
+    MXU tile edge), which is what makes the (S|R) build sandwich cheap
+    (VERDICT r4 item 2: the build dominated the solve stage split).
+    """
+    n_root = np.asarray(basis(c, n_end).n_root)
+    bounds = [0] + [
+        i for i in range(1, len(n_root)) if n_root[i] != n_root[i - 1]
+    ] + [len(n_root)]
+    groups = []
+    start = 0
+    for bi in range(1, len(bounds) - 1):
+        if bounds[bi + 1] - start > target and bounds[bi] > start:
+            groups.append((start, bounds[bi]))
+            start = bounds[bi]
+    groups.append((start, bounds[-1]))
+    return tuple(groups)
+
+
 @lru_cache(maxsize=32)
 def _rot_tables(c, n_end, _x64):
     """Quadrature rule + conj(Y) table + degree-block mask for rotations.
@@ -221,9 +248,20 @@ def _rotation_to_axis(t_hat, axis, d):
     return r
 
 
-def rotation_matrix(c, t_hat, n_end):
-    """D(R)[..., h', h] with R e_root = t_hat: the unitary, degree-block-
-    diagonal harmonic representation of the rotation, by quadrature."""
+def rotation_blocks(c, t_hat, n_end):
+    """D(R) as degree-group diagonal blocks: (groups, [C [..., g, g]]).
+
+    D is exactly degree-block-diagonal, so only the _degree_groups
+    diagonal tiles are ever nonzero; computing the quadrature
+    contraction per tile does Q * sum(g^2) work instead of Q * H^2
+    (~9x fewer MACs at n_end=32), and consumers (the rotation+coaxial
+    sandwich) multiply by the tiles directly without touching the H^2
+    zero sea.  The quadrature leaves ~eps off-block residue which,
+    sandwiched against coax blocks of magnitude |h_{n+n'}(kr)|, would
+    leak huge-scale roundoff into low-degree entries (0.23 rel error in
+    float32 at n_end=10); masking within each group restores the band
+    scan's per-entry scale discipline.
+    """
     d = c.c_ndim
     axis = _root_axis(c)
     w, yc, s_cart, n_root = _rot_tables(c, n_end, jax.config.jax_enable_x64)
@@ -231,22 +269,44 @@ def rotation_matrix(c, t_hat, n_end):
     w = w.astype(rdt)
     yc = yc.astype(rdt)
     s_cart = s_cart.astype(rdt)
-    # degree-block mask built on device from the [H] degree vector (an
-    # [H, H] bool constant would be folded/embedded at compile time)
-    n_root = jax.lax.optimization_barrier(n_root)
-    block = n_root[:, None] == n_root[None, :]
     r = _rotation_to_axis(t_hat.astype(rdt), axis, d)  # [..., d, d]
     # R^{-1} s = R^T s
     s_rot = jnp.einsum("...ij,iq->...jq", r, s_cart)  # [..., d, Q]
     sph_rot = from_cartesian(c, jnp.moveaxis(s_rot, -2, 0))
     y_rot = harmonics(c, sph_rot, n_end)  # C [..., Q, H]
-    dmat = cplx.einsum("qa,...qb->...ab", yc * w[:, None], y_rot)
-    # D is exactly degree-block-diagonal; the quadrature leaves ~eps
-    # off-block residue which, sandwiched against coax blocks of
-    # magnitude |h_{n+n'}(kr)|, would leak huge-scale roundoff into
-    # low-degree entries (0.23 rel error in float32 at n_end=10).
-    # Masking restores the band scan's per-entry scale discipline.
-    return cplx.where(block, dmat, C.of(0.0))
+    ycw = yc * w[:, None]
+    groups = _degree_groups(c, n_end)
+    n_root_np = np.asarray(n_root)
+    blocks = []
+    for s, e in groups:
+        dmat_g = cplx.einsum(
+            "qa,...qb->...ab", ycw[:, s:e], y_rot[..., s:e]
+        )
+        nr_g = n_root_np[s:e]
+        if (nr_g[0] != nr_g[-1]):  # group spans several degree blocks
+            mask = jax.lax.optimization_barrier(
+                jnp.asarray(nr_g)
+            )
+            dmat_g = cplx.where(
+                mask[:, None] == mask[None, :], dmat_g, C.of(0.0)
+            )
+        blocks.append(dmat_g)
+    return groups, blocks
+
+
+def rotation_matrix(c, t_hat, n_end):
+    """D(R)[..., h', h] with R e_root = t_hat: the unitary, degree-block-
+    diagonal harmonic representation of the rotation, by quadrature
+    (assembled from rotation_blocks; exact zeros off the degree
+    groups)."""
+    groups, blocks = rotation_blocks(c, t_hat, n_end)
+    h_num = groups[-1][1]
+    batch = blocks[0].shape[:-2]
+    rdt = blocks[0].re.dtype
+    out = C.zeros(batch + (h_num, h_num), dtype=rdt)
+    for (s, e), blk in zip(groups, blocks):
+        out = out.at_set((..., slice(s, e), slice(s, e)), blk)
+    return out
 
 
 def _dedup_radii(r_t, k):
@@ -297,7 +357,26 @@ def sr_rotation(c, t_sph, n_end, k, kind="SR", t_cart=None):
         coax = coaxial_sr(c, uniq_r, n_end, k, kind=kind)[..., inv, :, :]
     else:
         coax = coaxial_sr(c, r_t, n_end, k, kind=kind)  # [..., H, H]
-    rot = rotation_matrix(c, t_hat, n_end)  # [..., H, H]
-    # SR(t) = D Coax D^H  (validated against the band scan to ~1e-12)
-    tmp = cplx.einsum("...ij,...kj->...ik", coax, rot.conj())
-    return cplx.einsum("...ij,...jk->...ik", rot, tmp)
+    # SR(t) = D Coax D^H  (validated against the band scan to ~1e-12),
+    # multiplied per degree group: D is block-diagonal, so each product
+    # only touches the [*, g] / [g, *] stripes (see rotation_blocks)
+    return _sandwich(c, n_end, coax, t_hat)
+
+
+def _sandwich(c, n_end, coax, t_hat):
+    """D(t_hat) @ coax @ D(t_hat)^H via the degree-group blocks of D."""
+    groups, blocks = rotation_blocks(c, t_hat, n_end)
+    tmp = cplx.concatenate(
+        [
+            cplx.einsum("...ij,...kj->...ik", coax[..., :, s:e], rb.conj())
+            for (s, e), rb in zip(groups, blocks)
+        ],
+        axis=-1,
+    )
+    return cplx.concatenate(
+        [
+            cplx.einsum("...ij,...jk->...ik", rb, tmp[..., s:e, :])
+            for (s, e), rb in zip(groups, blocks)
+        ],
+        axis=-2,
+    )

@@ -47,7 +47,7 @@ from ..ops import cplx
 from ..ops.cplx import C
 from ..special._family import spherical_jh_scaled
 from ._ops import _a_const, _a_node_m
-from ._rotation import _coax_tables, _root_axis, rotation_matrix
+from ._rotation import _coax_tables, _root_axis
 
 # Bands per scale group.  The within-group exponent spread is
 # (G-1) * ln(2N/(e k t)); G = 8 keeps it under the float32 exp range for
@@ -143,25 +143,27 @@ def coaxial_scaled(c, r, n_end, k, kind="SR"):
     s_mat = jnp.take(rade, lsum, axis=-1)  # [..., H, H]
     h_num = u.shape[-1]
     batch = jnp.broadcast_shapes(coefm.shape[:-1], z.re.shape if isinstance(z, C) else z.shape)
-    acc0 = C.zeros(batch + (h_num, h_num), dtype=rdt)
+    acc = C.zeros(batch + (h_num, h_num), dtype=rdt)
 
-    coefm_steps = cplx.moveaxis(coefm_g, -2, 0)  # [NG, ..., G]
-    sig_steps = jnp.moveaxis(sig_g, -1, 0)  # [NG, ...]
-
-    def step(acc, xs):
-        u_gg, cm, sg = xs
+    # Group-combination factor exp(sig_g - S): S = rade[lsum] only takes
+    # NB distinct values per (batch, group), so exponentiate the
+    # [..., NG, NB] TABLE once and GATHER it per entry by lsum — the
+    # per-entry exp on [..., H, H] x NG was ~3e8 transcendentals per
+    # bench block and dominated the scaled build (round-5 stage split).
+    # Groups fully above an entry's Gaunt cutoff have t_g == 0 there but
+    # sig_g - S hugely positive: the clamp keeps 0 * exp as 0.
+    exp_tab = jnp.exp(
+        jnp.minimum(sig_g[..., None] - rade[..., None, :], 80.0)
+    )  # [..., NG, NB+pad]
+    # static python unroll (NG ~ 8): one fused DAG instead of a scan
+    # that materializes the [..., H, H] carry every step
+    for g in range(ng):
+        cm = coefm_g[..., g, :]
         t_g = C(
-            jnp.einsum("...n,nab->...ab", cm.re, u_gg),
-            jnp.einsum("...n,nab->...ab", cm.im, u_gg),
+            jnp.einsum("...n,nab->...ab", cm.re, u_g[g]),
+            jnp.einsum("...n,nab->...ab", cm.im, u_g[g]),
         )
-        # groups fully above an entry's Gaunt cutoff have t_g == 0 there
-        # but sig_g - S can be hugely positive: clamp so 0 * exp stays 0
-        acc = acc + t_g * jnp.exp(
-            jnp.minimum(sg[..., None, None] - s_mat, 80.0)
-        )
-        return acc, None
-
-    acc, _ = jax.lax.scan(step, acc0, (u_g, coefm_steps, sig_steps))
+        acc = acc + t_g * jnp.take(exp_tab[..., g, :], lsum, axis=-1)
     # i^{l'-l} phase is rank-1 separable: i^{l'} (row) x conj(i^{l}) (col)
     p = cplx.ipow_device(ell, rdt)
     mant = cplx.where(mask, (acc * p[:, None]) * p.conj()[None, :], C.of(0.0))
@@ -277,8 +279,9 @@ def sr_scaled(c, t_sph, n_end, k, kind="SR", t_cart=None, method=None):
         s_mat = s_mat[..., inv, :, :]
     else:
         mant, s_mat = coaxial_scaled(c, r_t, n_end, k, kind=kind)
-    rot = rotation_matrix(c, t_hat, n_end)
+    from ._rotation import _sandwich
+
     # S is constant on (degree-row x degree-col) blocks and the rotation
-    # is degree-block-diagonal: the sandwich applies to the mantissa.
-    tmp = cplx.einsum("...ij,...kj->...ik", mant, rot.conj())
-    return cplx.einsum("...ij,...jk->...ik", rot, tmp), s_mat
+    # is degree-block-diagonal: the sandwich applies to the mantissa
+    # (degree-group block products, see rotation_blocks)
+    return _sandwich(c, n_end, mant, t_hat), s_mat

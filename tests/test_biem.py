@@ -944,6 +944,32 @@ def test_solver_convergence_diagnostics():
     assert float(cal_m.relres) < 1e-11
     assert int(cal_m.iters) >= 1
 
+    # batched k: diagnostics are PER SYSTEM (round 5, VERDICT r4 item
+    # 10) — one hard system must not inflate the easy systems' counts.
+    # Nearly-touching spheres make the coupling (and the iteration
+    # spread over k) strong: measured [9, 10, 12] at these settings.
+    ks = np.array([0.2, 1.0, 6.0])
+    uin_b, _ = plane_wave(
+        k=jnp.asarray(ks),
+        direction=np.broadcast_to(np.array([1.0, 0, 0])[:, None], (3, 3)),
+    )
+    cal_b = biem(
+        c,
+        centers=np.broadcast_to(centers / 2.0, (3, 2, 3)),
+        radii=np.full((3, 2), 0.95),
+        k=jnp.asarray(ks),
+        n_end=10,
+        uin=uin_b,
+        solver="gmres",
+    )
+    it_b = np.asarray(cal_b.iters)
+    rr_b = np.asarray(cal_b.relres)
+    assert it_b.shape == (3,) and rr_b.shape == (3,)
+    assert np.all(it_b >= 1) and np.all(rr_b < 1e-11)
+    # k=6 needs strictly more Krylov steps than k=0.2 here; with the
+    # old shared-max semantics all three entries were equal
+    assert it_b[2] > it_b[0], it_b
+
 
 def test_auto_policy_keeps_lu_below_limit():
     """ADVICE r3 (medium): the dedup-rich mid-size matfree tier must NOT
