@@ -351,9 +351,16 @@ def main():
     t_mv1 = _time_jit(jax.jit(make_mv_chain(1)), kb_k, x_probe)
     t_mv9 = _time_jit(jax.jit(make_mv_chain(9)), kb_k, x_probe)
     t_gm48 = _time_jit(jax.jit(cheap_gmres), b_probe)
+    # each absolute probe is one synchronous dispatch and carries the
+    # ~27-30 ms tunnel round-trip; subtract the measured floor (the
+    # N-application slope cancels it by construction).  The pipelined
+    # sweep overlaps dispatch with compute, so the headline per-k does
+    # NOT carry the floor per block.
+    floor = dispatch_floor_ms / 1e3
+    t_rhs_c = max(t_rhs - floor, 0.0)
     stage_matvec_1 = max((t_mv9 - t_mv1) / 8.0, 0.0)
-    stage_build = max(t_mv1 - stage_matvec_1, 0.0)
-    stage_ortho_1 = t_gm48 / 48.0
+    stage_build = max(t_mv1 - floor - stage_matvec_1, 0.0)
+    stage_ortho_1 = max(t_gm48 - floor, 0.0) / 48.0
 
     # ---- utilization model (VERDICT r3 next-3): analytic FLOPs/bytes of
     # the measured work against chip peaks, so the speedup ratios below
@@ -365,23 +372,45 @@ def main():
     peak_bw = float(os.environ.get("BHS_PEAK_BW", 819e9))  # HBM B/s
     from biem_helmholtz_sphere_tpu.biem._core import _pair_routing
 
-    uniq, _, _, p_max = _pair_routing(centers.astype(np.float64))
-    no = len(uniq)
+    uniq_s, _, _, p_max, uniq_r, g_max = _pair_routing(
+        centers.astype(np.float64), radius_slots=True
+    )
+    no_slots = len(uniq_s)
+    n_rad = len(uniq_r)
     h = h_num  # 1024 at n_end=32, d=3
     n_sys = nb * h
-    # per-k-point solve flops:
-    #   build: per unique offset, rotation+coaxial = 2 complex [H, H] @
-    #     [H, H] matmuls (translation/_rotation.py:302-303)
-    #   matvec x iters: the unique-offset lane contraction
-    #     [NO, H, H] x [NO, 2P, H] (biem/_core.py::_matfree_operator)
-    #     + routing one-hots + CGS2 ortho (small at restart 48)
-    build_flops = no * 2 * 8 * h**3
-    matvec_flops = 8 * no * 2 * p_max * h * h + 2 * 8 * (2 * no * p_max) * 2 * nb * h
+    # per-k-point solve flops (FACTORED operator, round 5 — SR is never
+    # materialized: SR = D X D^H with D k-independent):
+    #   build (k-dep): the coax group combination — NG passes of the
+    #     [.., G] x [G, H, H] band contraction at NR distinct radii —
+    #     plus the degree-level fold expansion E exp(.) E^T
+    #   build (k-indep, amortized over the KB block): the D quadrature,
+    #     degree-grouped (H * sum(g^2) MACs per slot direction)
+    #   matvec x iters: three lane contractions per offset slot —
+    #     D^H [NO', H, H] x lanes, folded-coax [NR, H, H] x regrouped
+    #     lanes, D x lanes — + routing one-hots + CGS2 ortho
+    from biem_helmholtz_sphere_tpu.translation._rotation import (
+        _degree_groups,
+    )
+
+    sg2 = sum((e - s) ** 2 for s, e in _degree_groups(c, N_END))
+    n_bands = 2 * N_END - 1
+    q_rot = 2 * N_END * (2 * N_END - 1)  # rotation quadrature points
+    build_flops = (
+        n_rad * n_bands * 8 * h * h  # coax band contraction
+        + n_rad * 8 * (N_END**2 * h + h * h * N_END)  # fold E-expansion
+        + no_slots * 8 * q_rot * sg2 / KB  # D quadrature, per-k share
+    )
+    matvec_flops = (
+        8 * (2 * no_slots + n_rad * g_max) * 2 * p_max * h * h
+        + 2 * 8 * (2 * no_slots * p_max) * 2 * nb * h
+    )
     ortho_flops = 4 * 8 * 49 * n_sys  # 2 CGS2 passes x (dot + axpy), m = 48
     solve_flops = build_flops + iters_mean * (matvec_flops + ortho_flops)
-    # per-k-point solve bytes: the matvec re-reads the (S|R) tables from
-    # HBM every iteration (2 real f32 halves); the build writes them once.
-    table_bytes = 2 * 4 * no * h * h
+    # per-k-point solve bytes: every iteration re-reads the folded coax
+    # [NR, H, H] per k plus the k-SHARED rotation tables [NO', H, H]
+    # (2 real f32 halves each)
+    table_bytes = 2 * 4 * n_rad * h * h + 2 * 4 * no_slots * h * h / KB
     solve_bytes = (1 + iters_mean) * table_bytes
     solve_mfu = solve_flops / per_k_sweep / peak_flops
     solve_hbm = solve_bytes / per_k_sweep / peak_bw
@@ -431,14 +460,14 @@ def main():
         # measured per-k stage split (see stage probe comments above);
         # stage_other_s = headline minus attributed stages (dispatch,
         # warm-start plumbing, uscat(0), convergence checks)
-        "stage_rhs_s": round(t_rhs / KB, 5),
+        "stage_rhs_s": round(t_rhs_c / KB, 5),
         "stage_build_s": round(stage_build / KB, 5),
         "stage_matvec_s": round(iters_mean * stage_matvec_1 / KB, 5),
         "stage_ortho_s": round(iters_mean * stage_ortho_1 / KB, 5),
         "stage_other_s": round(
             per_k_sweep
             - (
-                t_rhs
+                t_rhs_c
                 + stage_build
                 + iters_mean * (stage_matvec_1 + stage_ortho_1)
             )

@@ -392,7 +392,7 @@ def _radial_rows_scaled(c, n_end, radii, k, eta, alpha, beta):
     )
 
 
-def _pair_routing(centers_np):
+def _pair_routing(centers_np, radius_slots=False):
     """Host-side pair routing tables for the matrix-free matvec.
 
     Deduplicates the b<b' offset vectors and lays the pairs out in flat
@@ -404,6 +404,14 @@ def _pair_routing(centers_np):
     destination balls.  Routing as 0/1 one-hot matmuls instead of
     gather + duplicate-index scatter-add keeps the work on the MXU with
     exact products and no serialization on colliding scatter indices.
+
+    radius_slots=True (the factored matvec, round 5): offsets are
+    ordered by |t| and padded so each distinct radius owns exactly
+    G_max offset SLOTS (dummy slots route nothing); returns
+    (uniq_slots, gth, sct, p_max, uniq_r, g_max) where
+    uniq_slots[r * g_max + g] is the slot's offset vector (a unit dummy
+    for padding) — the coaxial factor then applies per contiguous
+    radius group without any per-offset gather.
     """
     n_balls = centers_np.shape[0]
     bu, bv = np.triu_indices(n_balls, k=1)
@@ -412,6 +420,24 @@ def _pair_routing(centers_np):
     no = len(uniq)
     # group triu pairs by offset id; pad each group to the max count
     groups = [np.nonzero(inv == o)[0] for o in range(no)]
+    if radius_slots:
+        r_np = np.round(np.linalg.norm(uniq, axis=1), 10)
+        uniq_r, r_inv = np.unique(r_np, return_inverse=True)
+        nr = len(uniq_r)
+        g_max = int(np.max(np.bincount(r_inv)))
+        slot_uniq = np.zeros((nr * g_max, uniq.shape[1]))
+        # dummy direction: the radius along the first axis (any finite
+        # direction works — dummy slots route zero lanes)
+        slot_uniq[:, 0] = np.repeat(uniq_r, g_max)
+        slot_groups = [np.zeros((0,), np.int64)] * (nr * g_max)
+        fill = np.zeros(nr, np.int64)
+        for o in range(no):
+            r = r_inv[o]
+            s = r * g_max + fill[r]
+            fill[r] += 1
+            slot_uniq[s] = uniq[o]
+            slot_groups[s] = groups[o]
+        uniq, groups, no = slot_uniq, slot_groups, nr * g_max
     p_max = max(len(g) for g in groups)
     up_src = np.zeros((no, p_max), np.int32)  # b' (gather z)
     up_dst = np.zeros((no, p_max), np.int32)  # b  (scatter y)
@@ -429,6 +455,8 @@ def _pair_routing(centers_np):
     gth[np.arange(n_lanes), src] = valid_flat
     sct = np.zeros((n_balls, n_lanes), np.float64)
     sct[dst_flat, np.arange(n_lanes)] = valid_flat
+    if radius_slots:
+        return uniq, gth, sct, p_max, uniq_r, g_max
     return uniq, gth, sct, p_max
 
 
@@ -487,38 +515,110 @@ def _matfree_operator(
         )
         diag = sing_row * blc_col  # C [..., B, H]
 
-    uniq, gth_np, sct_np, p_max = _pair_routing(centers_np)
-    no = len(uniq)
-    pm_np = (-1.0) ** (b_.n_root.astype(np.int64) % 2)
-
     rdt = blc_col.dtype
-    t_cart = jnp.moveaxis(jnp.asarray(uniq), -1, 0)  # [d, NO]
-    if stable:
-        from ..coords import from_cartesian
-        from ..translation._scaled import sr_scaled
-
-        sr_m, sr_e = sr_scaled(
-            c, from_cartesian(c, t_cart), n_end, k[..., None],
-            kind="SR", t_cart=t_cart, method=method,
-        )
-        # fold the ball-maximum row/col exponents [..., H] per offset
-        sr = sr_m.astype(rdt) * jnp.exp(
-            e_r_max[..., None, :, None] + sr_e + e_b_max[..., None, None, :]
-        ).astype(rdt)
-    else:
-        sr = translation_matrix(
-            c, t_cart, n_end, k[..., None], kind="SR", method=method,
-        )  # C [..., NO, H, H]
-        sr = sr.astype(rdt)
-    if sr_map is not None:
-        sr = sr_map(sr)
-    # Materialization fence: pin the tables before the GMRES loop
-    # consumes them so the per-offset (S|R) build (3 batched [NO,H,H]
-    # matmuls via the rotation path) cannot be rematerialized per
-    # iteration.
-    sr, blc_s, reg_s, diag = jax.lax.optimization_barrier(
-        (sr, blc_col, reg_row, diag)
+    pm_np = (-1.0) ** (b_.n_root.astype(np.int64) % 2)
+    # Factored route (round 5): for scale-compensated 'b'-rooted trees,
+    # NEVER materialize the per-k [.., NO, H, H] SR tables.  With
+    # SR(t) = D(t^) X(|t|) D(t^)^H and the ball-max fold factor F
+    # constant on degree TILES while D is degree-block-diagonal,
+    # F .* (D X D^H) = D (F .* X) D^H — so the fold rides on the
+    # RADIUS-level coax mantissa (NR distinct radii, e.g. 9 for a 4x4
+    # lattice) and the matvec applies D^H, folded-X, D in factored form.
+    # D is k-INDEPENDENT ([NO, H, H] built once per program, shared by
+    # every k in a block), so the k-dependent build shrinks from the
+    # full sandwich + per-offset fold (~85 ms/block at the bench
+    # config) to the coax group combination alone (~15 ms), and the
+    # per-iteration HBM read drops from the [KB, NO, H, H] SR tables to
+    # coax [KB, NR, H, H] + the shared D.
+    factored = (
+        stable
+        and sr_map is None
+        and c.c_ndim >= 3
+        and c.root.kind in ("b", "bp")
     )
+    if factored:
+        from ..translation._rotation import rotation_matrix
+        from ..translation._scaled import coaxial_scaled
+
+        uniq, gth_np, sct_np, p_max, uniq_r, g_max = _pair_routing(
+            centers_np, radius_slots=True
+        )
+        no = len(uniq)  # NR * g_max slots (dummy slots route nothing)
+        n_rad = len(uniq_r)
+        t_vec = jnp.asarray(uniq)  # [NO, d]
+        r_t = jnp.linalg.norm(t_vec, axis=-1)
+        t_hat = (t_vec / r_t[..., None]).astype(rdt)
+        mant, s_mat = coaxial_scaled(
+            c, jnp.asarray(uniq_r), n_end, k[..., None], kind="SR"
+        )  # [..., NR, H, H]
+        # degree-level fold (all exponents are root-degree-block
+        # constant on these trees: radial orders ARE the root degree and
+        # s_mat = rade[l + l'] by construction)
+        nr_np = np.asarray(b_.n_root)
+        starts = jnp.asarray(
+            np.concatenate([[0], np.nonzero(nr_np[1:] != nr_np[:-1])[0] + 1]),
+            jnp.int32,
+        )
+        n_l = len(np.unique(nr_np))
+        e_r_s = jnp.take(e_r_max, starts, axis=-1)  # [..., L]
+        e_b_s = jnp.take(e_b_max, starts, axis=-1)
+        s_small = jnp.take(
+            jnp.take(s_mat, starts, axis=-2), starts, axis=-1
+        )  # [..., NR, L, L]
+        e_mem = (
+            jax.lax.optimization_barrier(jnp.asarray(nr_np, jnp.int32))[
+                :, None
+            ]
+            == jnp.arange(n_l, dtype=jnp.int32)[None, :]
+        ).astype(rdt)  # [H, L]
+        factor = jnp.einsum(
+            "al,...lm,bm->...ab",
+            e_mem,
+            jnp.exp(
+                e_r_s[..., None, :, None]
+                + s_small
+                + e_b_s[..., None, None, :]
+            ).astype(rdt),
+            e_mem,
+        )
+        xf = mant.astype(rdt) * factor  # folded coax [..., NR, H, H]
+        d_rot = rotation_matrix(c, t_hat, n_end).astype(rdt)  # [NO, H, H]
+        xf, d_rot, blc_s, reg_s, diag = jax.lax.optimization_barrier(
+            (xf, d_rot, blc_col, reg_row, diag)
+        )
+        sr = None
+    else:
+        uniq, gth_np, sct_np, p_max = _pair_routing(centers_np)
+        no = len(uniq)
+        t_cart = jnp.moveaxis(jnp.asarray(uniq), -1, 0)  # [d, NO]
+        if stable:
+            from ..coords import from_cartesian
+            from ..translation._scaled import sr_scaled
+
+            sr_m, sr_e = sr_scaled(
+                c, from_cartesian(c, t_cart), n_end, k[..., None],
+                kind="SR", t_cart=t_cart, method=method,
+            )
+            # fold the ball-maximum row/col exponents [..., H] per offset
+            sr = sr_m.astype(rdt) * jnp.exp(
+                e_r_max[..., None, :, None]
+                + sr_e
+                + e_b_max[..., None, None, :]
+            ).astype(rdt)
+        else:
+            sr = translation_matrix(
+                c, t_cart, n_end, k[..., None], kind="SR", method=method,
+            )  # C [..., NO, H, H]
+            sr = sr.astype(rdt)
+        if sr_map is not None:
+            sr = sr_map(sr)
+        # Materialization fence: pin the tables before the GMRES loop
+        # consumes them so the per-offset (S|R) build (3 batched
+        # [NO,H,H] matmuls via the rotation path) cannot be
+        # rematerialized per iteration.
+        sr, blc_s, reg_s, diag = jax.lax.optimization_barrier(
+            (sr, blc_col, reg_row, diag)
+        )
     pm = jnp.asarray(pm_np, dtype=rdt)
     n_lanes = 2 * no * p_max
     gth = jnp.asarray(gth_np.astype(rdt))
@@ -533,7 +633,17 @@ def _matfree_operator(
         zs = cplx.concatenate([z, z * pm], axis=-2)  # [..., 2B, H]
         w = cplx.einsum("pq,...qh->...ph", gth, zs)  # [..., 2*NO*P, H]
         w = w.reshape(w.shape[:-2] + (no, 2 * p_max, h_num))
-        y = cplx.einsum("...ohg,...opg->...oph", sr, w)
+        if sr is not None:
+            y = cplx.einsum("...ohg,...opg->...oph", sr, w)
+        else:
+            # factored SR apply: D^H, folded radius-level coax, D
+            w2 = cplx.einsum("ogh,...opg->...oph", d_rot.conj(), w)
+            wr = w2.reshape(
+                w2.shape[:-3] + (n_rad, g_max * 2 * p_max, h_num)
+            )
+            v = cplx.einsum("...rhg,...rpg->...rph", xf, wr)
+            v = v.reshape(v.shape[:-3] + (no, 2 * p_max, h_num))
+            y = cplx.einsum("ohg,...opg->...oph", d_rot, v)
         # mirror half: the row parity factor pm_h
         y_up = y[..., :, :p_max, :]
         y_dn = y[..., :, p_max:, :] * pm

@@ -364,19 +364,17 @@ def sr_rotation(c, t_sph, n_end, k, kind="SR", t_cart=None):
 
 
 def _sandwich(c, n_end, coax, t_hat):
-    """D(t_hat) @ coax @ D(t_hat)^H via the degree-group blocks of D."""
-    groups, blocks = rotation_blocks(c, t_hat, n_end)
-    tmp = cplx.concatenate(
-        [
-            cplx.einsum("...ij,...kj->...ik", coax[..., :, s:e], rb.conj())
-            for (s, e), rb in zip(groups, blocks)
-        ],
-        axis=-1,
-    )
-    return cplx.concatenate(
-        [
-            cplx.einsum("...ij,...jk->...ik", rb, tmp[..., s:e, :])
-            for (s, e), rb in zip(groups, blocks)
-        ],
-        axis=-2,
-    )
+    """D(t_hat) @ coax @ D(t_hat)^H with D assembled from its degree
+    blocks.
+
+    The products deliberately run as FULL [H, H] matmuls: measured on
+    the v5e they sit at the "high"-precision matmul roofline (~63 Tflops
+    at the bench config), while a degree-group-restricted product —
+    despite ~9x fewer MACs — ran SLOWER (lane-dim slices at non-128
+    degree boundaries force relayout copies and the small matmuls
+    underutilize the MXU).  The grouped path only pays off for the D
+    QUADRATURE build (rotation_blocks), which is kept.
+    """
+    rot = rotation_matrix(c, t_hat, n_end)
+    tmp = cplx.einsum("...ij,...kj->...ik", coax, rot.conj())
+    return cplx.einsum("...ij,...jk->...ik", rot, tmp)

@@ -139,22 +139,34 @@ def coaxial_scaled(c, r, n_end, k, kind="SR"):
             [u, jnp.zeros((pad,) + u.shape[1:], dtype=u.dtype)], axis=0
         )
     u_g = u.reshape(ng, _GROUP, *u.shape[1:])  # [NG, G, H, H]
-
-    s_mat = jnp.take(rade, lsum, axis=-1)  # [..., H, H]
     h_num = u.shape[-1]
     batch = jnp.broadcast_shapes(coefm.shape[:-1], z.re.shape if isinstance(z, C) else z.shape)
     acc = C.zeros(batch + (h_num, h_num), dtype=rdt)
 
-    # Group-combination factor exp(sig_g - S): S = rade[lsum] only takes
-    # NB distinct values per (batch, group), so exponentiate the
-    # [..., NG, NB] TABLE once and GATHER it per entry by lsum — the
-    # per-entry exp on [..., H, H] x NG was ~3e8 transcendentals per
-    # bench block and dominated the scaled build (round-5 stage split).
+    # Group-combination factor exp(sig_g - S): S = rade[lsum] is constant
+    # on (degree-row x degree-col) BLOCKS, so per group it is the
+    # [n_end, n_end] DEGREE-level matrix exp(sig_g - rade[l + l'])
+    # expanded to [H, H] through the 0/1 degree-membership matrix
+    # E[h, l] = (ell_h == l).  Exponentiate the tiny [.., NG, L, L]
+    # table (thousands of exps) and expand with E . exp_small . E^T —
+    # MXU matmuls — instead of exponentiating [.., H, H] per group
+    # (~3e8 transcendentals per bench block, the dominant scaled-build
+    # cost in the round-5 stage split; a per-entry GATHER of the table
+    # was measured even slower than the exps on the v5e).
     # Groups fully above an entry's Gaunt cutoff have t_g == 0 there but
     # sig_g - S hugely positive: the clamp keeps 0 * exp as 0.
-    exp_tab = jnp.exp(
-        jnp.minimum(sig_g[..., None] - rade[..., None, :], 80.0)
-    )  # [..., NG, NB+pad]
+    n_l = n_end  # root degrees run 0..n_end-1 on 'b'-rooted trees
+    l_ar = jnp.arange(n_l, dtype=jnp.int32)
+    lsum_small = l_ar[:, None] + l_ar[None, :]  # [L, L], values < n_bands
+    rade_ll = jnp.take(rade, lsum_small, axis=-1)  # [..., L, L]
+    exp_small = jnp.exp(
+        jnp.minimum(sig_g[..., None, None] - rade_ll[..., None, :, :], 80.0)
+    )  # [..., NG, L, L]
+    e_mem = (ell[:, None] == l_ar[None, :]).astype(rdt)  # [H, L] one-hot
+    # the returned per-entry log-scale S = rade[lsum] expands the same
+    # way (exactly — E picks the degree value): a [KB-batch, H, H]
+    # GATHER here measured ~17 ms/block on the v5e, the E-matmul is <1
+    s_mat = jnp.einsum("al,...lm,bm->...ab", e_mem, rade_ll, e_mem)
     # static python unroll (NG ~ 8): one fused DAG instead of a scan
     # that materializes the [..., H, H] carry every step
     for g in range(ng):
@@ -163,7 +175,10 @@ def coaxial_scaled(c, r, n_end, k, kind="SR"):
             jnp.einsum("...n,nab->...ab", cm.re, u_g[g]),
             jnp.einsum("...n,nab->...ab", cm.im, u_g[g]),
         )
-        acc = acc + t_g * jnp.take(exp_tab[..., g, :], lsum, axis=-1)
+        scale_g = jnp.einsum(
+            "al,...lm,bm->...ab", e_mem, exp_small[..., g, :, :], e_mem
+        )
+        acc = acc + t_g * scale_g
     # i^{l'-l} phase is rank-1 separable: i^{l'} (row) x conj(i^{l}) (col)
     p = cplx.ipow_device(ell, rdt)
     mant = cplx.where(mask, (acc * p[:, None]) * p.conj()[None, :], C.of(0.0))
